@@ -1,0 +1,6 @@
+from gavit_tpu.data.dataset import (  # noqa: F401
+    DISEASE_NAMES,
+    ChestXrayDataset,
+    SyntheticChestXrayDataset,
+)
+from gavit_tpu.data.loader import DataLoader, device_iterator  # noqa: F401

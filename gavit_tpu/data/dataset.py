@@ -1,0 +1,145 @@
+"""NIH ChestX-ray14 dataset.
+
+Same on-disk contract as the reference (``/root/reference/src/data/dataset.py``):
+a space-delimited label file whose first column is the image filename and
+columns 1..14 are float disease labels (``dataset.py:39-41``), images loaded
+from ``image_dir`` and converted to RGB (``dataset.py:79-80``), per-class
+positive weights = neg/pos counts (``dataset.py:59-64``), and the fixed
+14-disease name list (``dataset.py:47-51``).
+
+TPU-native difference: ``__getitem__`` returns a **uint8 HWC** array resized
+to the training resolution — all float math (normalise, augment) runs on
+device inside the jitted step (see ``gavit_tpu/ops/preprocess.py``), and the
+host→device transfer ships 4× fewer bytes than fp32 tensors.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+from PIL import Image
+
+logger = logging.getLogger(__name__)
+
+DISEASE_NAMES = [
+    "Atelectasis", "Cardiomegaly", "Effusion", "Infiltration",
+    "Mass", "Nodule", "Pneumonia", "Pneumothorax", "Consolidation",
+    "Edema", "Emphysema", "Fibrosis", "Pleural_Thickening", "Hernia",
+]
+
+NUM_CLASSES = len(DISEASE_NAMES)
+
+
+def parse_label_file(label_file: str):
+    """Parse the space-delimited label format → (paths, labels [N,14])."""
+    paths, labels = [], []
+    with open(label_file) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            paths.append(parts[0])
+            row = [float(v) for v in parts[1:15]]
+            if len(row) != NUM_CLASSES:
+                raise ValueError(
+                    f"label line for {parts[0]!r} has {len(row)} labels, "
+                    f"expected {NUM_CLASSES}"
+                )
+            labels.append(row)
+    if not paths:
+        raise ValueError(f"empty label file: {label_file}")
+    return np.asarray(paths), np.asarray(labels, np.float32)
+
+
+def class_weights_from_labels(labels: np.ndarray) -> np.ndarray:
+    """Per-class pos_weight = negative/positive counts (``dataset.py:59-64``)."""
+    pos = labels.sum(axis=0)
+    neg = len(labels) - pos
+    with np.errstate(divide="ignore"):
+        w = neg / pos
+    return w.astype(np.float32)
+
+
+class ChestXrayDataset:
+    """Map-style dataset yielding (uint8 [S,S,3] image, float32 [14] labels)."""
+
+    disease_names = DISEASE_NAMES
+
+    def __init__(self, image_dir: str, label_file: str, image_size: int = 224):
+        self.image_dir = image_dir
+        self.image_size = image_size
+        try:
+            self.image_paths, self.labels = parse_label_file(label_file)
+        except Exception as e:
+            logger.error(f"Error reading label file: {e}")
+            raise
+        self.class_weights = class_weights_from_labels(self.labels)
+        logger.info(f"Loaded {len(self.image_paths)} images")
+        self._log_class_distribution()
+
+    def _log_class_distribution(self):
+        pos = self.labels.sum(axis=0)
+        for disease, count in zip(self.disease_names, pos):
+            logger.info(
+                f"{disease}: {int(count)} positive samples "
+                f"({count / len(self.labels) * 100:.2f}%)"
+            )
+
+    def __len__(self):
+        return len(self.image_paths)
+
+    def __getitem__(self, idx: int):
+        path = os.path.join(self.image_dir, self.image_paths[idx])
+        try:
+            with Image.open(path) as img:
+                img = img.convert("RGB")
+                if img.size != (self.image_size, self.image_size):
+                    img = img.resize(
+                        (self.image_size, self.image_size), Image.BILINEAR
+                    )
+                image = np.asarray(img, np.uint8)
+        except Exception as e:
+            logger.error(f"Error loading image {self.image_paths[idx]}: {e}")
+            raise
+        return image, self.labels[idx]
+
+
+class SyntheticChestXrayDataset:
+    """Deterministic synthetic stand-in (tests, benchmarks, smoke training).
+
+    Matches the real dataset's sample contract exactly; images/labels are a
+    pure function of (seed, index).
+    """
+
+    disease_names = DISEASE_NAMES
+
+    def __init__(self, size: int = 512, image_size: int = 224, seed: int = 0):
+        self.size = size
+        self.image_size = image_size
+        self.seed = seed
+        rng = np.random.default_rng(seed)
+        # correlated multi-label targets with realistic (low) positive rates
+        self.labels = (
+            rng.random((size, NUM_CLASSES)) < rng.uniform(0.05, 0.3, NUM_CLASSES)
+        ).astype(np.float32)
+        # guarantee both classes appear for every disease so AUC is defined
+        half = max(1, size // 2)
+        for c in range(NUM_CLASSES):
+            if self.labels[:, c].sum() == 0:
+                self.labels[c % half, c] = 1.0
+            if self.labels[:, c].sum() == size:
+                self.labels[(c + 1) % half, c] = 0.0
+        self.class_weights = class_weights_from_labels(self.labels)
+        self.image_paths = np.asarray([f"synthetic_{i:06d}.png" for i in range(size)])
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, idx: int):
+        rng = np.random.default_rng((self.seed + 1) * 1_000_003 + idx)
+        s = self.image_size
+        base = rng.integers(0, 256, (s // 8, s // 8, 3), np.uint8)
+        image = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)
+        return image, self.labels[idx]

@@ -1,0 +1,116 @@
+"""Host-side batching loader with threaded decode and device prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` (multiprocess
+workers, ``scripts/train.py:76-90``). PIL decode/resize releases the GIL in
+C, so a thread pool gives worker-process parallelism without pickling/fork
+overhead, and batches are assembled as contiguous uint8 arrays.
+
+``device_iterator`` overlaps H2D transfer with compute: it keeps ``prefetch``
+batches in flight (already placed on the mesh with the batch sharding) ahead
+of the training step that consumes them, which is what sustains step-time
+overlap on TPU (the input pipeline is the usual throughput killer —
+SURVEY.md §7 stage 8).
+"""
+
+from __future__ import annotations
+
+import collections
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+class DataLoader:
+    """Batching iterator over a map-style dataset.
+
+    Matches reference semantics: shuffle train only, drop_last=False
+    (``scripts/train.py:76-90``). Per-epoch shuffles are seeded and
+    reproducible.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        num_workers: int = 4,
+        drop_last: bool = False,
+        seed: int = 42,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        # separate pools: batch-assembly lookahead tasks must never compete
+        # with (and starve) the per-item decode tasks they fan out to
+        self._item_pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        self._batch_pool = ThreadPoolExecutor(max_workers=2)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _indices(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def _load_batch(self, idx_batch):
+        items = list(self._item_pool.map(self.dataset.__getitem__, idx_batch))
+        images = np.stack([it[0] for it in items])
+        labels = np.stack([it[1] for it in items])
+        return images, labels
+
+    def __iter__(self):
+        indices = self._indices()
+        n_batches = len(self)
+        # one-batch lookahead: decode batch i+1 while batch i is consumed
+        pending = collections.deque()
+        submit = self._batch_pool.submit
+
+        def batch_slice(i):
+            return indices[i * self.batch_size : (i + 1) * self.batch_size]
+
+        if n_batches > 0:
+            pending.append(submit(self._load_batch, batch_slice(0)))
+        for i in range(n_batches):
+            if i + 1 < n_batches:
+                pending.append(submit(self._load_batch, batch_slice(i + 1)))
+            yield pending.popleft().result()
+        self.epoch += 1
+
+
+def device_iterator(loader, mesh=None, prefetch: int = 2):
+    """Wrap a host loader: place batches on the mesh ahead of consumption."""
+    from gavit_tpu.parallel.mesh import shard_batch
+
+    import jax
+
+    def place(batch):
+        if mesh is not None:
+            return shard_batch(mesh, batch)
+        return jax.device_put(batch)
+
+    queue = collections.deque()
+    it = iter(loader)
+    try:
+        for _ in range(prefetch):
+            queue.append(place(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        try:
+            queue.append(place(next(it)))
+        except StopIteration:
+            pass
+        yield queue.popleft()

@@ -1,0 +1,178 @@
+"""Core ViT layers (Flax linen), designed TPU-first.
+
+Parity notes vs the PyTorch reference (``/root/reference/src/models/vit.py``):
+
+* Patchify is a reshape + single einsum instead of a Conv2d (``vit.py:22-23``)
+  — on TPU a stride-16 conv and a [B,N,p·p·C] @ [p·p·C,D] GEMM are the same
+  FLOPs, but the explicit GEMM maps directly onto the MXU with no im2col and
+  fuses with the surrounding graph. The patch feature ordering is
+  channel-major ``(c, ph, pw)`` so a torch conv weight ``[D, C, kh, kw]``
+  converts by ``w.reshape(D, -1).T``.
+* GELU is exact (erf) to match ``nn.GELU()`` (``vit.py:84``).
+* LayerNorm epsilon is 1e-5 (torch default), not flax's 1e-6.
+* DropPath follows the per-sample binary mask with 1/keep rescale
+  (``vit.py:227-242``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gavit_tpu.ops.attention import multi_head_attention
+
+trunc_init = nn.initializers.truncated_normal(stddev=0.02)
+LN_EPS = 1e-5
+
+
+def mm_precision(dtype):
+    """Matmul precision policy: fp32 activations demand HIGHEST (TPU MXUs
+    default fp32 matmuls to bf16 passes, which breaks the ≤1e-3 logit-parity
+    bar); bf16 training keeps the fast default."""
+    if dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
+class PatchEmbed(nn.Module):
+    """Image → patch tokens: [B, H, W, C] → [B, N, D] (NHWC, TPU-native)."""
+
+    patch_size: int
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        p = self.patch_size
+        if h % p or w % p:
+            raise ValueError(f"image size {h}x{w} not divisible by patch size {p}")
+        gh, gw = h // p, w // p
+        x = x.reshape(b, gh, p, gw, p, c)
+        # (c, ph, pw) ordering inside each patch vector — matches the
+        # flattening of a torch Conv2d weight [D, C, kh, kw]
+        x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b, gh * gw, c * p * p)
+        x = nn.Dense(
+            self.embed_dim,
+            dtype=self.dtype,
+            precision=mm_precision(self.dtype),
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros_init(),
+            name="proj",
+        )(x)
+        return x
+
+
+class Mlp(nn.Module):
+    """Dense → GELU(exact) → drop → Dense → drop (``vit.py:75-94``)."""
+
+    hidden_dim: int
+    out_dim: int
+    drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init,
+                     name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init,
+                     name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+def drop_path(x, rate: float, deterministic: bool, rng) -> jax.Array:
+    """Stochastic depth: drop entire residual branches per sample
+    (``vit.py:227-242``)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class Attention(nn.Module):
+    """Fused-QKV multi-head self-attention (``vit.py:39-72``).
+
+    Compute path dispatches to the fused Pallas kernel on TPU via
+    :func:`gavit_tpu.ops.attention.multi_head_attention`.
+    """
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, n, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        qkv = nn.Dense(
+            3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+            precision=mm_precision(self.dtype), kernel_init=trunc_init, name="qkv",
+        )(x)
+        qkv = qkv.reshape(b, n, 3, h, hd)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # [B, H, N, hd]
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+
+        dropout_rng = None
+        if self.attn_drop > 0.0 and not deterministic:
+            dropout_rng = self.make_rng("dropout")
+        out = multi_head_attention(
+            q, k, v, hd ** -0.5,
+            impl=self.impl,
+            dropout_rate=self.attn_drop if not deterministic else 0.0,
+            dropout_rng=dropout_rng,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = nn.Dense(c, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block with stochastic depth (``vit.py:97-119``)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        def maybe_drop_path(y):
+            if self.drop_path_rate > 0.0 and not deterministic:
+                return drop_path(
+                    y, self.drop_path_rate, deterministic, self.make_rng("dropout")
+                )
+            return y
+
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm1")(x)
+        h = Attention(
+            dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
+            impl=self.attn_impl, name="attn",
+        )(h.astype(self.dtype), deterministic)
+        x = x + maybe_drop_path(h)
+
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm2")(x)
+        h = Mlp(
+            hidden_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
+            drop=self.drop, dtype=self.dtype, name="mlp",
+        )(h.astype(self.dtype), deterministic)
+        x = x + maybe_drop_path(h)
+        return x

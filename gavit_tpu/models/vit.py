@@ -1,0 +1,127 @@
+"""Graph-augmented Vision Transformer (Flax), TPU-first.
+
+Forward path mirrors the reference model's semantics
+(``/root/reference/src/models/vit.py:122-224``): patchify → +CLS → +learned
+position embeddings → pos-dropout → transformer blocks (pre-LN, stochastic
+depth linearly spaced over depth, ``vit.py:144``) → final LayerNorm → CLS
+token → linear head to ``num_classes`` logits — with the graph
+message-passing blocks (new capability) interleaved at configurable depths.
+
+TPU-first choices: NHWC images, patchify as reshape+GEMM, fused Pallas
+attention, bf16 compute with fp32 params and fp32 LayerNorm/softmax.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gavit_tpu.config import ModelConfig
+from gavit_tpu.models.graph import GraphBlock
+from gavit_tpu.models.layers import (
+    LN_EPS,
+    Block,
+    PatchEmbed,
+    mm_precision,
+    trunc_init,
+)
+
+
+class VisionTransformer(nn.Module):
+    """ViT backbone + optional interleaved graph blocks.
+
+    Call with images [B, H, W, C] (NHWC, already normalised); returns
+    [B, num_classes] logits. ``capture='tokens'`` additionally returns the
+    per-block token activations (used by Grad-CAM / attention visualisation).
+    """
+
+    cfg: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+    graph_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, capture: str | None = None):
+        cfg = self.cfg
+        b = x.shape[0]
+        d = cfg.embed_dim
+
+        x = PatchEmbed(
+            patch_size=cfg.patch_size, embed_dim=d, dtype=self.dtype,
+            name="patch_embed",
+        )(x.astype(self.dtype))
+        n = x.shape[1]
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, d),
+            jnp.float32,
+        )
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02), (1, n + 1, d),
+            jnp.float32,
+        )
+        cls = jnp.broadcast_to(cls_token.astype(self.dtype), (b, 1, d))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + pos_embed.astype(self.dtype)
+        x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+
+        graph_sites = set(cfg.graph_insert_after())
+        dpr = [
+            cfg.drop_path_rate * i / max(cfg.depth - 1, 1) for i in range(cfg.depth)
+        ]
+
+        captured = []
+        adj = None
+        g_idx = 0
+        for i in range(cfg.depth):
+            x = Block(
+                dim=d, num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=cfg.qkv_bias, drop=cfg.drop_rate,
+                attn_drop=cfg.attn_drop_rate, drop_path_rate=dpr[i],
+                dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}",
+            )(x, deterministic)
+            if capture == "tokens":
+                captured.append(x)
+            if i in graph_sites:
+                x, new_adj = GraphBlock(
+                    dim=d, cfg=cfg.graph, num_patches=n, drop=cfg.drop_rate,
+                    dtype=self.dtype, impl=self.graph_impl, name=f"graph_{g_idx}",
+                )(x, adj=adj if not cfg.graph.dynamic else None,
+                  deterministic=deterministic)
+                if not cfg.graph.dynamic and adj is None:
+                    adj = new_adj
+                g_idx += 1
+
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm")(x)
+        feats = x.astype(self.dtype)
+        cls_out = feats[:, 0]
+        logits = nn.Dense(
+            cfg.num_classes, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init, name="head"
+        )(cls_out)
+        logits = logits.astype(jnp.float32)
+
+        if capture == "tokens":
+            return logits, captured
+        return logits
+
+
+def build_model(cfg: ModelConfig, *, precision: str = "fp32",
+                attn_impl: str = "auto", graph_impl: str = "auto"):
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    return VisionTransformer(
+        cfg=cfg, dtype=dtype, attn_impl=attn_impl, graph_impl=graph_impl
+    )
+
+
+def init_params(model: VisionTransformer, rng, img_size: int | None = None):
+    """Initialise parameters with a dummy batch (fp32 params)."""
+    cfg = model.cfg
+    size = img_size or cfg.img_size
+    dummy = jnp.zeros((1, size, size, cfg.in_chans), jnp.float32)
+    variables = model.init({"params": rng}, dummy, deterministic=True)
+    return variables["params"]
+
+
+def count_params(params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))

@@ -1,0 +1,270 @@
+"""Multi-head self-attention for TPU.
+
+Two interchangeable paths (selected by ``impl``):
+
+* ``"reference"`` — plain XLA einsum attention that materialises the
+  ``[B, H, N, N]`` probability matrix. Mirrors the math of the PyTorch
+  reference (``/root/reference/src/models/vit.py:55-72``: softmax(q·kᵀ·scale)·v)
+  and is the ground truth the Pallas kernel is tested against. Supports
+  attention-probability dropout.
+
+* ``"pallas"`` — a fused one-pass Pallas kernel: per (batch, head) program the
+  whole [N, d] tile set lives in VMEM, the score matrix never round-trips to
+  HBM, softmax is computed in fp32, and a custom VJP implements the
+  flash-attention backward (recompute probabilities, no stored [N,N] tensor in
+  HBM). Sequences are zero-padded to a multiple of the 128-lane tile and
+  masked with -inf scores, so N=197 (224px) and N=577 (384px) both map onto
+  aligned MXU tiles.
+
+``"auto"`` picks pallas on TPU when attention dropout is off, else reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_NEG_INF = -1e30
+
+
+def _prec(dtype):
+    """HIGHEST for fp32 inputs (parity bar), fast default for bf16."""
+    if dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# reference (XLA einsum) path
+# ---------------------------------------------------------------------------
+
+
+def attention_reference(q, k, v, scale, dropout_rate=0.0, dropout_rng=None):
+    """softmax(q kᵀ · scale) v with optional probability dropout.
+
+    Args:
+      q, k, v: [B, H, N, d]
+    Returns:
+      [B, H, N, d] in q.dtype, with fp32 softmax.
+    """
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32,
+        precision=_prec(q.dtype),
+    ) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32, precision=_prec(v.dtype),
+    )
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas fused path
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
+    # native-dtype MXU dots (bf16 stays bf16 on the MXU), fp32 accumulation;
+    # fp32 inputs force a HIGHEST-precision pass to hold the parity bar
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    prec = _prec(q.dtype)
+    n_pad = q.shape[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    s = jnp.where(col < n_valid, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p * pl.reciprocal(l, approx=False)
+    o_ref[0] = jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=prec
+    ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float, n_valid: int
+):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    prec = _prec(q.dtype)
+    n_pad = q.shape[0]
+    # recompute probabilities (flash-style: never stored to HBM)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    s = jnp.where(col < n_valid, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p * pl.reciprocal(l, approx=False)
+    # padded query rows produce garbage grads; zero them so dk/dv stay exact
+    row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+    p = jnp.where(row < n_valid, p, 0.0)
+
+    dv = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32, precision=prec)
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _bh_specs(n: int, n_pad: int, d: int, count: int):
+    """Block specs mapping grid step i → (batch·head) slice [1, n_pad, d]."""
+    return [
+        pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        for _ in range(count)
+    ]
+
+
+def _pad_tokens(x, n_pad):
+    n = x.shape[-2]
+    if n == n_pad:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = (0, n_pad - n)
+    return jnp.pad(x, pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_attention(q, k, v, scale):
+    return _fused_attention_fwd(q, k, v, scale)[0]
+
+
+def _run_fwd(q, k, v, scale):
+    b, h, n, d = q.shape
+    n_pad = max(_round_up(n, _LANE), _LANE)
+    qf = _pad_tokens(q, n_pad).reshape(b * h, n_pad, d)
+    kf = _pad_tokens(k, n_pad).reshape(b * h, n_pad, d)
+    vf = _pad_tokens(v, n_pad).reshape(b * h, n_pad, d)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, n_valid=n),
+        grid=(b * h,),
+        in_specs=_bh_specs(n, n_pad, d, 3),
+        out_specs=pl.BlockSpec(
+            (1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n_pad * n_pad * d,
+            bytes_accessed=4 * b * h * n_pad * d * 4,
+            transcendentals=b * h * n_pad * n_pad,
+        ),
+    )(qf, kf, vf)
+    return out.reshape(b, h, n_pad, d)[:, :, :n, :]
+
+
+def _fused_attention_fwd(q, k, v, scale):
+    out = _run_fwd(q, k, v, scale)
+    return out, (q, k, v)
+
+
+def _fused_attention_bwd(scale, res, g):
+    q, k, v = res
+    b, h, n, d = q.shape
+    n_pad = max(_round_up(n, _LANE), _LANE)
+    qf = _pad_tokens(q, n_pad).reshape(b * h, n_pad, d)
+    kf = _pad_tokens(k, n_pad).reshape(b * h, n_pad, d)
+    vf = _pad_tokens(v, n_pad).reshape(b * h, n_pad, d)
+    gf = _pad_tokens(g, n_pad).reshape(b * h, n_pad, d)
+    shapes = [jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype) for _ in range(3)]
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, n_valid=n),
+        grid=(b * h,),
+        in_specs=_bh_specs(n, n_pad, d, 4),
+        out_specs=[
+            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ],
+        out_shape=shapes,
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * b * h * n_pad * n_pad * d,
+            bytes_accessed=7 * b * h * n_pad * d * 4,
+            transcendentals=b * h * n_pad * n_pad,
+        ),
+    )(qf, kf, vf, gf)
+
+    def unpad(x):
+        return x.reshape(b, h, n_pad, d)[:, :, :n, :]
+
+    return unpad(dq), unpad(dk), unpad(dv)
+
+
+_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+def attention_pallas(q, k, v, scale):
+    """Fused MHSA: [B, H, N, d] → [B, H, N, d]."""
+    return _fused_attention(q, k, v, scale)
+
+
+# ---------------------------------------------------------------------------
+# dispatcher
+# ---------------------------------------------------------------------------
+
+
+def multi_head_attention(
+    q,
+    k,
+    v,
+    scale: float | None = None,
+    *,
+    impl: str = "auto",
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+):
+    """Dispatching MHSA over [B, H, N, d] tensors.
+
+    ``impl='auto'`` uses the fused Pallas kernel on TPU (and interpret mode on
+    CPU tests) unless attention dropout is active, which only the reference
+    path supports (the reference model defaults attn_drop=0, see
+    ``/root/reference/src/models/vit.py:127``).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    use_dropout = dropout_rate > 0.0 and dropout_rng is not None
+    if impl == "reference" or (impl == "auto" and use_dropout):
+        return attention_reference(q, k, v, scale, dropout_rate, dropout_rng)
+    if use_dropout:
+        raise ValueError("pallas attention does not support attention dropout")
+    return attention_pallas(q, k, v, scale)

@@ -1,0 +1,255 @@
+"""Graph branch ops: patch-token adjacency construction + message passing.
+
+The reference repo is named "Graph-Augmented-Vision-Transformers" but contains
+no graph code (verified: no adjacency/kNN/message-passing anywhere under
+``/root/reference/src``). This module implements the capability the driver's
+north star specifies: pairwise-similarity / kNN adjacency over patch tokens
+and adjacency-weighted message-passing aggregation, as
+
+* an XLA einsum path (``build_adjacency`` + ``graph_aggregate``) — the ground
+  truth, also used for the custom-VJP backward, and
+* a fused Pallas TPU kernel (``fused_graph_aggregate``) that does
+  similarity → sparsify → row-softmax → aggregate in a single VMEM pass per
+  batch element, so the [N, N] adjacency never round-trips to HBM. The token
+  buffer handed to this kernel is the same HBM array the attention kernel
+  reads — adjacency build, graph aggregation and MHSA share one HBM-resident
+  token buffer as the north star requires.
+
+Adjacency modes:
+  * ``dense``      — all-pairs softmax of cosine similarity (no self loops).
+  * ``knn``        — top-k neighbours per row by cosine similarity.
+  * ``threshold``  — edges where cosine similarity > threshold; empty rows
+                     fall back to a pure self-edge.
+  * ``learned_static`` — a learnable [N, N] logits table (built in the model
+                     layer, not here) — row-softmaxed, shared across batch.
+
+Sparsification masks are boolean (selection is non-differentiable, as in
+standard kNN-graph practice), so gradients flow through similarities only via
+the softmax weights of the selected edges.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_NEG_INF = -1e30
+_EPS = 1e-6
+
+
+def _prec(dtype):
+    """HIGHEST for fp32 inputs (parity bar), fast default for bf16."""
+    if dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path
+# ---------------------------------------------------------------------------
+
+
+def cosine_similarity(tokens):
+    """Pairwise cosine similarity: [B, N, D] → [B, N, N] (fp32 accumulate)."""
+    t32 = tokens.astype(jnp.float32)
+    t32 = t32 * jax.lax.rsqrt(jnp.sum(t32 * t32, axis=-1, keepdims=True) + _EPS)
+    t = t32.astype(tokens.dtype)
+    return jnp.einsum(
+        "bid,bjd->bij", t, t, preferred_element_type=jnp.float32,
+        precision=_prec(tokens.dtype),
+    )
+
+
+def build_adjacency(
+    tokens,
+    *,
+    mode: str = "knn",
+    k: int = 8,
+    threshold: float = 0.0,
+    temperature: float = 1.0,
+):
+    """Row-stochastic adjacency [B, N, N] from patch tokens [B, N, D]."""
+    n = tokens.shape[-2]
+    sim = cosine_similarity(tokens)
+    eye = jnp.eye(n, dtype=bool)
+    no_self = ~eye
+
+    if mode == "dense":
+        mask = jnp.broadcast_to(no_self, sim.shape)
+    elif mode == "knn":
+        kk = min(k, n - 1)
+        masked_sim = jnp.where(no_self, sim, _NEG_INF)
+        kth = jax.lax.top_k(masked_sim, kk)[0][..., -1:]
+        mask = masked_sim >= kth
+    elif mode == "threshold":
+        mask = (sim > threshold) & no_self
+        # rows with no edge above threshold fall back to a self-edge
+        row_any = jnp.any(mask, axis=-1, keepdims=True)
+        mask = jnp.where(row_any, mask, eye)
+    else:
+        raise ValueError(f"unknown adjacency mode: {mode!r}")
+
+    logits = jnp.where(mask, sim / temperature, _NEG_INF)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def graph_aggregate(adj, values):
+    """Adjacency-weighted aggregation: [B,N,N] @ [B,N,D] → [B,N,D]."""
+    out = jnp.einsum(
+        "bij,bjd->bid", adj.astype(values.dtype), values,
+        preferred_element_type=jnp.float32, precision=_prec(values.dtype),
+    )
+    return out.astype(values.dtype)
+
+
+def _reference_fused(tokens, values, mode, k, threshold, temperature):
+    adj = build_adjacency(
+        tokens, mode=mode, k=k, threshold=threshold, temperature=temperature
+    )
+    return graph_aggregate(adj, values)
+
+
+# ---------------------------------------------------------------------------
+# fused pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _graph_kernel(
+    t_ref,
+    v_ref,
+    o_ref,
+    *,
+    mode: str,
+    k: int,
+    threshold: float,
+    temperature: float,
+    n_valid: int,
+):
+    t_in = t_ref[0]
+    v = v_ref[0]
+    prec = _prec(t_in.dtype)
+    n_pad = t_in.shape[0]
+
+    # cosine similarity in VMEM: normalise in fp32, dot in native dtype
+    t32 = t_in.astype(jnp.float32)
+    t32 = t32 * jax.lax.rsqrt(jnp.sum(t32 * t32, axis=-1, keepdims=True) + _EPS)
+    t = t32.astype(t_in.dtype)
+    sim = jax.lax.dot_general(
+        t, t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, n_pad), 1)
+    valid = col < n_valid
+    eye = row == col
+    no_self = jnp.logical_not(eye) & valid
+
+    if mode == "dense":
+        mask = no_self
+    elif mode == "knn":
+        kk = min(k, n_valid - 1)
+        work = jnp.where(no_self, sim, _NEG_INF)
+        kth = jnp.full((n_pad, 1), _NEG_INF, dtype=jnp.float32)
+        # iterative max-extraction: after kk passes `kth` holds the kk-th
+        # largest value per row (exact when rows have no duplicate sims)
+        for _ in range(kk):
+            kth = jnp.max(work, axis=-1, keepdims=True)
+            work = jnp.where(work >= kth, _NEG_INF, work)
+        mask = no_self & (sim >= kth)
+    elif mode == "threshold":
+        mask = (sim > threshold) & no_self
+        row_any = jnp.any(mask, axis=-1, keepdims=True)
+        mask = jnp.where(row_any, mask, eye & valid)
+    else:
+        raise ValueError(f"unknown adjacency mode: {mode!r}")
+
+    logits = jnp.where(mask, sim / temperature, _NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    adj = p * pl.reciprocal(denom, approx=False)
+    o_ref[0] = jnp.dot(
+        adj.astype(v.dtype), v, preferred_element_type=jnp.float32,
+        precision=prec,
+    ).astype(o_ref.dtype)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _run_fused(tokens, values, mode, k, threshold, temperature):
+    b, n, d = tokens.shape
+    n_pad = max(_round_up(n, _LANE), _LANE)
+    pad = [(0, 0), (0, n_pad - n), (0, 0)]
+    tp = jnp.pad(tokens, pad) if n_pad != n else tokens
+    vp = jnp.pad(values, pad) if n_pad != n else values
+    kern = functools.partial(
+        _graph_kernel,
+        mode=mode,
+        k=k,
+        threshold=threshold,
+        temperature=temperature,
+        n_valid=n,
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), values.dtype),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_pad * n_pad * d,
+            bytes_accessed=3 * b * n_pad * d * 4,
+            transcendentals=b * n_pad * n_pad,
+        ),
+    )(tp, vp)
+    return out[:, :n, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def fused_graph_aggregate(
+    tokens, values, mode: str = "knn", k: int = 8, threshold: float = 0.0,
+    temperature: float = 1.0,
+):
+    """Fused similarity → sparsify → softmax → aggregate.
+
+    Forward runs the single-pass Pallas kernel; backward recomputes through
+    the XLA reference composition (the [N,N] adjacency is cheap to rebuild
+    relative to storing it in HBM).
+    """
+    return _run_fused(tokens, values, mode, k, threshold, temperature)
+
+
+def _fga_fwd(tokens, values, mode, k, threshold, temperature):
+    out = _run_fused(tokens, values, mode, k, threshold, temperature)
+    return out, (tokens, values)
+
+
+def _fga_bwd(mode, k, threshold, temperature, res, g):
+    tokens, values = res
+    _, vjp = jax.vjp(
+        lambda t, v: _reference_fused(t, v, mode, k, threshold, temperature),
+        tokens,
+        values,
+    )
+    return vjp(g)
+
+
+fused_graph_aggregate.defvjp(_fga_fwd, _fga_bwd)

@@ -1,0 +1,62 @@
+"""Device mesh + sharding rules for data-parallel training over ICI.
+
+The reference is strictly single-device (``scripts/train.py:133``, no
+torch.distributed anywhere — SURVEY.md §2.6); this module is the TPU-native
+scaling layer: a ``('data', 'model')`` mesh over the chips of a slice (v5e-8:
+8 chips on ICI), batches sharded along ``data``, parameters/optimizer state
+replicated. Gradient averaging is inserted automatically by the partitioner
+as ``psum`` over ICI when the jitted train step consumes a data-sharded batch
+and produces replicated parameter updates — no NCCL-style explicit
+collectives in user code.
+
+The ``model`` axis is reserved so tensor-parallel PartitionSpecs are a config
+change, not a redesign (SURVEY.md §2.6); all current specs replicate over it.
+For multi-host slices, per-host data feeding uses
+``jax.make_array_from_process_local_data`` via :func:`shard_batch`.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gavit_tpu.config import MeshConfig
+
+
+def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    model = max(1, cfg.model) if cfg else 1
+    data = cfg.data if (cfg and cfg.data and cfg.data > 0) else n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs {data*model} devices, have {n}")
+    dev_array = mesh_utils.create_device_mesh(
+        (data, model), devices=devices[: data * model]
+    )
+    return Mesh(dev_array, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dimension split along the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch onto the mesh, sharded along the data axis.
+
+    Single-process: a plain device_put with a NamedSharding. Multi-host: each
+    process contributes its local shard of the global batch.
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )

@@ -1,0 +1,375 @@
+"""Training loop.
+
+Mirrors the reference Trainer's surface and behavior
+(``/root/reference/src/training/trainer.py``): per-step warmup+cosine LR,
+AdamW with the criterion λs in a 0.1×lr group, gradient clipping of model
+params at ``max_grad_norm``, per-epoch train/validate with full metric
+batteries, wandb logging every ``log_every`` batches and per epoch
+(including per-disease AUCs), best-val-AUC checkpointing, and early stopping
+with the configured patience.
+
+TPU-native redesign:
+  * The hot path is ONE jitted function: device-side augmentation
+    (uint8 → normalized, fused XLA graph) + forward (Pallas attention /
+    graph kernels) + loss + backward + optimizer update, with the state
+    donated (no per-step reallocation).
+  * bf16 activations / fp32 params & optimizer — no GradScaler needed
+    (the reference's fp16+GradScaler machinery, ``trainer.py:59-60,110-120``,
+    is a CUDA artifact).
+  * Data-parallel over the ICI mesh: batches arrive data-sharded, gradient
+    psums are inserted by the partitioner (SURVEY.md §2.6).
+  * Per-step host syncs are avoided: losses/predictions stay on device and
+    transfer once per epoch (the reference syncs every batch,
+    ``trainer.py:126-132``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from gavit_tpu.config import Config
+from gavit_tpu.data.loader import device_iterator
+from gavit_tpu.ops.preprocess import train_preprocess, val_preprocess
+from gavit_tpu.parallel.mesh import make_mesh, replicated_sharding
+from gavit_tpu.training.losses import (
+    dynamic_weighted_loss,
+    get_loss_weights,
+    init_criterion_params,
+)
+from gavit_tpu.training.optimizer import make_optimizer
+from gavit_tpu.training.schedule import warmup_cosine_schedule
+from gavit_tpu.utils import checkpoint as ckpt_lib
+from gavit_tpu.utils.metrics import MetricCalculator
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        model_params,
+        train_loader,
+        val_loader,
+        config: Config,
+        wandb_run=None,
+        mesh=None,
+        state: TrainState | None = None,
+        start_epoch: int = 0,
+    ):
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.config = config
+        self.wandb = wandb_run
+        self.mesh = mesh if mesh is not None else make_mesh(config.mesh)
+
+        tr = config.training
+        self.metric_calculator = MetricCalculator(train_loader.dataset.disease_names)
+        self.pos_weight = jnp.asarray(train_loader.dataset.class_weights)
+
+        steps_per_epoch = max(1, len(train_loader))
+        self.tx = make_optimizer(config, steps_per_epoch)
+        self.lr_schedule = warmup_cosine_schedule(
+            tr.learning_rate,
+            steps_per_epoch * tr.warmup_epochs,
+            steps_per_epoch * tr.epochs,
+        )
+
+        if state is None:
+            params = {"model": model_params, "criterion": init_criterion_params()}
+            state = TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                opt_state=self.tx.init(params),
+            )
+        # private copy: the jitted step donates the state, so the Trainer must
+        # own its buffers (device_put may alias the caller's arrays, which
+        # donation would then delete out from under the caller)
+        copy_in = jax.jit(
+            lambda s: s, out_shardings=replicated_sharding(self.mesh)
+        )
+        self.state = copy_in(state)
+        self.base_rng = jax.device_put(
+            jax.random.key(tr.seed, impl=tr.prng_impl),
+            replicated_sharding(self.mesh),
+        )
+
+        self.current_epoch = start_epoch
+        self.start_epoch = start_epoch
+        self.best_val_auc = 0.0
+        self.best_epoch = 0
+        self.patience_counter = 0
+        self.early_stop_patience = tr.early_stopping_patience
+        self.min_delta = tr.min_delta
+        self.train_metrics_history: list[dict] = []
+        self.val_metrics_history: list[dict] = []
+
+        self._train_step = self._build_train_step(config.data.augment_affine)
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+
+    def _build_train_step(self, use_affine: bool):
+        model, tx, pos_weight = self.model, self.tx, self.pos_weight
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, rng, images, labels):
+            step_rng = jax.random.fold_in(rng, state.step)
+            k_aug, k_drop = jax.random.split(step_rng)
+            if images.dtype == jnp.uint8:
+                x = train_preprocess(images, k_aug, use_affine=use_affine)
+            else:
+                x = images
+
+            def loss_fn(params):
+                logits = model.apply(
+                    {"params": params["model"]},
+                    x,
+                    deterministic=False,
+                    rngs={"dropout": k_drop},
+                )
+                total, comps = dynamic_weighted_loss(
+                    params["criterion"], logits, labels, pos_weight
+                )
+                return total, (logits, comps)
+
+            (loss, (logits, comps)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt_state = tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                step=state.step + 1, params=new_params, opt_state=new_opt_state
+            )
+            metrics = {"loss": loss, **comps}
+            preds = jax.nn.sigmoid(logits)
+            return new_state, metrics, preds
+
+        return train_step
+
+    def _build_eval_step(self):
+        model, pos_weight = self.model, self.pos_weight
+
+        @jax.jit
+        def eval_step(params, images, labels):
+            x = val_preprocess(images) if images.dtype == jnp.uint8 else images
+            logits = model.apply(
+                {"params": params["model"]}, x, deterministic=True
+            )
+            loss, _ = dynamic_weighted_loss(
+                params["criterion"], logits, labels, pos_weight
+            )
+            return jax.nn.sigmoid(logits), loss
+
+        return eval_step
+
+    # ------------------------------------------------------------------
+    # epoch loops
+    # ------------------------------------------------------------------
+
+    def _log(self, data: dict):
+        if self.wandb is not None:
+            self.wandb.log(data)
+
+    def train_epoch(self) -> dict:
+        tr = self.config.training
+        preds_acc, targets_acc, metric_acc = [], [], []
+        n_images = 0
+        t0 = time.perf_counter()
+
+        self.train_loader.set_epoch(self.current_epoch)
+        for batch_idx, (images, labels) in enumerate(
+            device_iterator(self.train_loader, self.mesh,
+                            prefetch=self.config.data.prefetch)
+        ):
+            self.state, metrics, preds = self._train_step(
+                self.state, self.base_rng, images, labels
+            )
+            preds_acc.append(preds)
+            targets_acc.append(labels)
+            metric_acc.append(metrics)
+            n_images += preds.shape[0]
+
+            if batch_idx % tr.log_every == 0:
+                step = int(self.state.step) - 1
+                lr = float(self.lr_schedule(step))
+                batch = {k: float(v) for k, v in metrics.items()}
+                logger.info(
+                    f"Epoch {self.current_epoch + 1} step {batch_idx}: "
+                    f"loss {batch['loss']:.4f}, lr {lr:.2e}"
+                )
+                self._log({
+                    "train/batch_loss": batch["loss"],
+                    "train/learning_rate": lr,
+                    **{f"train/batch_loss_{k}": v for k, v in batch.items()},
+                })
+
+        elapsed = time.perf_counter() - t0
+        predictions = np.vstack([np.asarray(p) for p in jax.device_get(preds_acc)])
+        targets = np.vstack([np.asarray(t) for t in jax.device_get(targets_acc)])
+        losses = jax.device_get(metric_acc)
+
+        metrics = self.metric_calculator.calculate_metrics(targets, predictions)
+        for key in ("loss", "wbce", "focal", "asl"):
+            src = "loss" if key == "loss" else key
+            metrics[f"loss_{key if key != 'loss' else 'total'}"] = float(
+                np.mean([m[src] for m in losses])
+            )
+        metrics["loss"] = metrics["loss_total"]
+        metrics["images_per_sec"] = n_images / max(elapsed, 1e-9)
+        return metrics
+
+    def validate(self) -> dict:
+        preds_acc, targets_acc, losses = [], [], []
+        for images, labels in device_iterator(
+            self.val_loader, self.mesh, prefetch=self.config.data.prefetch
+        ):
+            preds, loss = self._eval_step(self.state.params, images, labels)
+            preds_acc.append(preds)
+            targets_acc.append(labels)
+            losses.append(loss)
+        predictions = np.vstack([np.asarray(p) for p in jax.device_get(preds_acc)])
+        targets = np.vstack([np.asarray(t) for t in jax.device_get(targets_acc)])
+        metrics = self.metric_calculator.calculate_metrics(targets, predictions)
+        metrics["loss"] = float(np.mean(jax.device_get(losses)))
+        return metrics
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+
+    def _state_tree(self):
+        return {
+            "step": self.state.step,
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+        }
+
+    def save_checkpoint(self, metrics: dict, is_best: bool = False):
+        save_dir = self.config.paths.save_dir
+        os.makedirs(save_dir, exist_ok=True)
+        meta = {
+            "epoch": self.current_epoch,
+            "best_val_auc": float(self.best_val_auc),
+            "metrics": {k: float(v) for k, v in metrics.items()
+                        if isinstance(v, (int, float, np.floating))},
+            "config": self.config.to_dict(),
+        }
+        name = ckpt_lib.checkpoint_name(self.current_epoch, metrics["mean_auc"])
+        ckpt_lib.save(os.path.join(save_dir, name), self._state_tree(), meta)
+        if is_best:
+            ckpt_lib.save(
+                os.path.join(save_dir, "best_model"), self._state_tree(), meta
+            )
+            logger.info(f"Saved new best model with AUC: {metrics['mean_auc']:.4f}")
+
+    def restore_checkpoint(self, path: str):
+        """Full resume: params + optimizer + schedule step + epoch/best-AUC."""
+        state, meta = ckpt_lib.restore(path, self._state_tree())
+        self.state = jax.device_put(
+            TrainState(
+                step=state["step"],
+                params=state["params"],
+                opt_state=state["opt_state"],
+            ),
+            replicated_sharding(self.mesh),
+        )
+        self.current_epoch = int(meta.get("epoch", 0)) + 1
+        self.start_epoch = self.current_epoch
+        self.best_val_auc = float(meta.get("best_val_auc", 0.0))
+        logger.info(f"Resumed from {path} at epoch {self.current_epoch}")
+
+    # ------------------------------------------------------------------
+    # outer loop
+    # ------------------------------------------------------------------
+
+    def train(self) -> dict:
+        logger.info("Starting training...")
+        tr = self.config.training
+        try:
+            for epoch in range(self.start_epoch, tr.epochs):
+                self.current_epoch = epoch
+
+                train_metrics = self.train_epoch()
+                self.train_metrics_history.append(train_metrics)
+
+                val_metrics = self.validate()
+                self.val_metrics_history.append(val_metrics)
+
+                lr = float(self.lr_schedule(int(self.state.step) - 1))
+                self._log({
+                    "epoch": epoch,
+                    "train/loss": train_metrics["loss"],
+                    "train/mean_auc": train_metrics["mean_auc"],
+                    "train/images_per_sec": train_metrics["images_per_sec"],
+                    "val/loss": val_metrics["loss"],
+                    "val/mean_auc": val_metrics["mean_auc"],
+                    "learning_rate": lr,
+                })
+                for disease in self.train_loader.dataset.disease_names:
+                    key = f"{disease}_auc"
+                    if key in train_metrics and key in val_metrics:
+                        self._log({
+                            f"train/auc_{disease}": train_metrics[key],
+                            f"val/auc_{disease}": val_metrics[key],
+                        })
+
+                w = np.asarray(get_loss_weights(
+                    jax.device_get(self.state.params["criterion"])
+                ))
+                logger.info(
+                    f"Epoch {epoch + 1}/{tr.epochs} - "
+                    f"Train Loss: {train_metrics['loss']:.4f}, "
+                    f"Train AUC: {train_metrics['mean_auc']:.4f}, "
+                    f"Val Loss: {val_metrics['loss']:.4f}, "
+                    f"Val AUC: {val_metrics['mean_auc']:.4f}, "
+                    f"{train_metrics['images_per_sec']:.0f} img/s, "
+                    f"loss weights (wbce/focal/asl): "
+                    f"{w[0]:.3f}/{w[1]:.3f}/{w[2]:.3f}"
+                )
+
+                if val_metrics["mean_auc"] > self.best_val_auc:
+                    self.best_val_auc = val_metrics["mean_auc"]
+                    self.best_epoch = epoch
+                    self.patience_counter = 0
+                    self.save_checkpoint(val_metrics, is_best=True)
+                else:
+                    self.patience_counter += 1
+
+                if self.patience_counter >= self.early_stop_patience:
+                    logger.info("Early stopping triggered")
+                    break
+        except Exception as e:
+            logger.error(f"Training failed with error: {e}")
+            raise
+        finally:
+            logger.info("Training completed!")
+
+        return {
+            "best_val_auc": float(self.best_val_auc),
+            "final_train_loss": float(self.train_metrics_history[-1]["loss"]),
+            "final_train_auc": float(self.train_metrics_history[-1]["mean_auc"]),
+            "final_val_loss": float(self.val_metrics_history[-1]["loss"]),
+            "final_val_auc": float(self.val_metrics_history[-1]["mean_auc"]),
+        }

@@ -1,0 +1,91 @@
+"""Orbax checkpointing with true full resume.
+
+Saves what the reference saves (``trainer.py:188-214``): model + criterion
+params, optimizer state, step/epoch, best validation AUC, metrics, and the
+full config — per-epoch directories named
+``checkpoint_epoch_{E}_auc_{AUC:.4f}`` plus a ``best_model`` copy.
+
+Unlike the reference — whose ``--resume`` restores model weights only and
+restarts at epoch 0 (``scripts/train.py:160-166``, ``trainer.py:220-221``) —
+``restore`` here rebuilds the complete training state (params, optimizer
+moments, schedule step, epoch, best-AUC/patience counters), so resume
+continues exactly where training stopped. ``latest_checkpoint`` enables
+preemption-aware auto-resume on TPU VMs.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
+
+_STATE_SUBDIR = "state"
+_META_FILE = "meta.json"
+_EPOCH_RE = re.compile(r"checkpoint_epoch_(\d+)_auc_([0-9.]+)$")
+
+
+def checkpoint_name(epoch: int, auc: float) -> str:
+    return f"checkpoint_epoch_{epoch}_auc_{auc:.4f}"
+
+
+def save(path: str, state_tree: Any, meta: dict) -> None:
+    """Save a pytree (params/opt_state/step) + JSON metadata under ``path``."""
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    state_path = os.path.join(path, _STATE_SUBDIR)
+    ckptr.save(state_path, state_tree, force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    logger.info(f"Saved checkpoint to {path}")
+
+
+def restore(path: str, target_tree: Any) -> tuple[Any, dict]:
+    """Restore (state pytree shaped like ``target_tree``, metadata dict)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target_tree)
+    state = ckptr.restore(os.path.join(path, _STATE_SUBDIR), abstract)
+    meta_path = os.path.join(path, _META_FILE)
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    logger.info(f"Restored checkpoint from {path}")
+    return state, meta
+
+
+def restore_unstructured(path: str) -> tuple[Any, dict]:
+    """Restore a checkpoint without a target tree (structure inferred from
+    disk) — used by evaluation, which doesn't know the optimizer shape."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(os.path.join(path, _STATE_SUBDIR))
+    meta_path = os.path.join(path, _META_FILE)
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def latest_checkpoint(save_dir: str) -> str | None:
+    """Most recent per-epoch checkpoint directory, or None."""
+    if not os.path.isdir(save_dir):
+        return None
+    best_epoch, best_path = -1, None
+    for name in os.listdir(save_dir):
+        m = _EPOCH_RE.match(name)
+        if m and int(m.group(1)) > best_epoch:
+            full = os.path.join(save_dir, name)
+            if os.path.isdir(os.path.join(full, _STATE_SUBDIR)):
+                best_epoch, best_path = int(m.group(1)), full
+    return best_path

@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Offline evaluation with metrics, bootstrap CIs, plots and error analysis.
+
+Same CLI semantics and artifacts as the reference
+(``/root/reference/scripts/evaluate.py``):
+
+    python scripts/evaluate.py --config <yaml> --checkpoint <ckpt_dir> \
+        --dataset {nih,chexpert,synthetic}
+
+Produces ``<save_dir>/evaluation/evaluation_results.json`` (metrics +
+confidence intervals + error analysis), ``roc_curves.pdf`` and
+``confusion_matrices.pdf``, and reports the p50 single-image eval latency
+(the BASELINE.json tracked metric).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import os
+
+import jax
+
+if os.environ.get("GAVIT_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["GAVIT_PLATFORM"])
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+from gavit_tpu.config import load_config
+from gavit_tpu.data import ChestXrayDataset, DataLoader, SyntheticChestXrayDataset
+from gavit_tpu.models.vit import build_model, init_params
+from gavit_tpu.ops.preprocess import val_preprocess
+from gavit_tpu.training.losses import init_criterion_params
+from gavit_tpu.utils import checkpoint as ckpt_lib
+from gavit_tpu.utils.metrics import MetricCalculator
+
+logger = logging.getLogger(__name__)
+
+
+def load_model(checkpoint_path, config):
+    """Rebuild the model with dropout 0 and restore checkpointed params
+    (reference ``evaluate.py:20-36``)."""
+    import dataclasses
+
+    model_cfg = dataclasses.replace(config.model, drop_rate=0.0)
+    model = build_model(model_cfg, precision="fp32")
+    params = init_params(model, jax.random.key(0))
+    if checkpoint_path:
+        state, _ = ckpt_lib.restore_unstructured(checkpoint_path)
+        params = jax.tree.map(
+            lambda tmpl, v: jax.numpy.asarray(v, tmpl.dtype),
+            params,
+            state["params"]["model"],
+        )
+    return model, params
+
+
+def plot_roc_curves(predictions, targets, disease_names, save_dir):
+    from sklearn.metrics import auc, roc_curve
+
+    plt.figure(figsize=(15, 10))
+    for i, disease in enumerate(disease_names):
+        if len(np.unique(targets[:, i])) < 2:
+            continue
+        fpr, tpr, _ = roc_curve(targets[:, i], predictions[:, i])
+        plt.plot(fpr, tpr, label=f"{disease} (AUC = {auc(fpr, tpr):.3f})")
+    plt.plot([0, 1], [0, 1], "k--")
+    plt.xlabel("False Positive Rate")
+    plt.ylabel("True Positive Rate")
+    plt.title("ROC Curves for All Diseases")
+    plt.legend(bbox_to_anchor=(1.05, 1), loc="upper left")
+    plt.tight_layout()
+    plt.savefig(save_dir / "roc_curves.pdf", dpi=300, bbox_inches="tight")
+    plt.close()
+
+
+def plot_confusion_matrices(predictions, targets, disease_names, save_dir):
+    import seaborn as sns
+
+    binary = (predictions > 0.5).astype(np.int64)
+    n_rows = (len(disease_names) + 3) // 4
+    fig, axes = plt.subplots(n_rows, 4, figsize=(20, 5 * n_rows))
+    axes = axes.flatten()
+    for i, (disease, ax) in enumerate(zip(disease_names, axes)):
+        t, b = targets[:, i].astype(np.int64), binary[:, i]
+        cm = np.array([
+            [np.sum((t == 0) & (b == 0)), np.sum((t == 0) & (b == 1))],
+            [np.sum((t == 1) & (b == 0)), np.sum((t == 1) & (b == 1))],
+        ])
+        sns.heatmap(cm, annot=True, fmt="d", cmap="Blues", ax=ax)
+        ax.set_title(disease)
+        ax.set_xlabel("Predicted")
+        ax.set_ylabel("True")
+    for ax in axes[len(disease_names):]:
+        ax.remove()
+    plt.tight_layout()
+    plt.savefig(save_dir / "confusion_matrices.pdf", dpi=300, bbox_inches="tight")
+    plt.close()
+
+
+def analyze_error_patterns(predictions, targets, disease_names):
+    """Per-disease error rates + error co-occurrence matrix
+    (reference ``evaluate.py:83-101``)."""
+    binary = (predictions > 0.5).astype(np.int64)
+    errors = (binary != targets).astype(np.float64)
+    error_rates = errors.mean(axis=0)
+    error_df = {
+        "Disease": {i: d for i, d in enumerate(disease_names)},
+        "Error Rate": {i: float(r) for i, r in enumerate(error_rates)},
+    }
+    cooc = (errors.T @ errors) / len(errors)
+    return error_df, cooc
+
+
+def measure_p50_latency(apply_fn, image_size, n_iters: int = 50) -> float:
+    """p50 single-image eval latency in ms (BASELINE.json tracked metric)."""
+    x = np.zeros((1, image_size, image_size, 3), np.uint8)
+    xd = jax.device_put(x)
+    jax.block_until_ready(apply_fn(xd))  # compile
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(apply_fn(xd))
+        times.append((time.perf_counter() - t0) * 1000)
+    return float(np.percentile(times, 50))
+
+
+def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0):
+    metric_calculator = MetricCalculator(dataloader.dataset.disease_names)
+
+    @jax.jit
+    def forward(images_u8):
+        return jax.nn.sigmoid(
+            model.apply({"params": params}, val_preprocess(images_u8),
+                        deterministic=True)
+        )
+
+    all_predictions, all_targets = [], []
+    for images, targets in dataloader:
+        all_predictions.append(np.asarray(forward(images)))
+        all_targets.append(targets)
+    predictions = np.vstack(all_predictions)
+    targets = np.vstack(all_targets)
+
+    metrics = metric_calculator.calculate_metrics(targets, predictions)
+    ci_metrics = metric_calculator.calculate_confidence_intervals(
+        targets, predictions, seed=prng_seed
+    )
+    plot_roc_curves(predictions, targets, dataloader.dataset.disease_names, save_dir)
+    plot_confusion_matrices(
+        predictions, targets, dataloader.dataset.disease_names, save_dir
+    )
+    error_df, error_cooccurrence = analyze_error_patterns(
+        predictions, targets, dataloader.dataset.disease_names
+    )
+    p50_ms = measure_p50_latency(forward, dataloader.dataset.image_size)
+    logger.info(f"p50 single-image eval latency: {p50_ms:.2f} ms")
+
+    return {
+        "metrics": metrics,
+        "confidence_intervals": {k: list(v) for k, v in ci_metrics.items()},
+        "error_analysis": {
+            "per_disease_errors": error_df,
+            "error_cooccurrence": error_cooccurrence.tolist(),
+        },
+        "p50_single_image_latency_ms": p50_ms,
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--dataset", choices=["nih", "chexpert", "synthetic"],
+                        required=True)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    config = load_config(args.config)
+    save_dir = Path(config.paths.save_dir) / "evaluation"
+    save_dir.mkdir(parents=True, exist_ok=True)
+
+    model, params = load_model(args.checkpoint, config)
+
+    d = config.data
+    if args.dataset == "nih":
+        dataset = ChestXrayDataset(d.val_dir, d.val_labels, image_size=d.image_size)
+    elif args.dataset == "chexpert":
+        dataset = ChestXrayDataset(
+            d.chexpert_dir, d.chexpert_labels, image_size=d.image_size
+        )
+    else:
+        dataset = SyntheticChestXrayDataset(
+            size=d.synthetic_size, image_size=d.image_size
+        )
+
+    dataloader = DataLoader(
+        dataset, d.batch_size, shuffle=False, num_workers=d.num_workers
+    )
+    results = evaluate(model, params, dataloader, save_dir)
+
+    with open(save_dir / "evaluation_results.json", "w") as f:
+        json.dump(results, f, indent=4)
+    logger.info(f"Wrote {save_dir / 'evaluation_results.json'}")
+
+
+if __name__ == "__main__":
+    main()

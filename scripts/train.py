@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Train a Graph-Augmented ViT on TPU.
+
+Same CLI semantics as the reference (``/root/reference/scripts/train.py``):
+
+    python scripts/train.py --config configs/baseline_config.yaml \
+        [--resume <checkpoint_dir>] [--synthetic]
+
+Differences by design: ``--resume`` performs a FULL resume (params, optimizer
+moments, schedule step, epoch, best-AUC) — the reference's resume restores
+weights only and silently restarts at epoch 0 (``train.py:160-166``).
+``--synthetic`` trains on the deterministic synthetic dataset (smoke runs on
+machines without ChestX-ray14).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+# escape hatch: GAVIT_PLATFORM=cpu forces the CPU backend even where a site
+# profile pins jax_platforms to a TPU plugin (smoke runs, CI machines)
+if os.environ.get("GAVIT_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["GAVIT_PLATFORM"])
+
+from gavit_tpu.config import load_config
+from gavit_tpu.data import ChestXrayDataset, DataLoader, SyntheticChestXrayDataset
+from gavit_tpu.models.vit import build_model, count_params, init_params
+from gavit_tpu.parallel.mesh import make_mesh
+from gavit_tpu.training import Trainer
+from gavit_tpu.utils import log_dataset_info, log_system_info, setup_logging
+from gavit_tpu.utils import wandb_compat
+from gavit_tpu.utils import checkpoint as ckpt_lib
+from gavit_tpu.utils.metrics import MetricCalculator
+from gavit_tpu.utils.torch_convert import load_mae_weights
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args():
+    p = argparse.ArgumentParser(
+        description="Train Graph-Augmented Vision Transformer (TPU-native)"
+    )
+    p.add_argument("--config", type=str, default="configs/baseline_config.yaml",
+                   help="Path to configuration file")
+    p.add_argument("--resume", type=str, default=None,
+                   help="Checkpoint directory to resume from "
+                        "('auto' = latest in save_dir)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="Train on the synthetic dataset (no image files needed)")
+    return p.parse_args()
+
+
+def create_datasets(config, synthetic: bool):
+    d = config.data
+    if synthetic or d.synthetic:
+        train = SyntheticChestXrayDataset(
+            size=d.synthetic_size, image_size=d.image_size, seed=config.training.seed
+        )
+        val = SyntheticChestXrayDataset(
+            size=max(d.batch_size, d.synthetic_size // 8),
+            image_size=d.image_size, seed=config.training.seed + 1,
+        )
+        return train, val
+    train = ChestXrayDataset(d.train_dir, d.train_labels, image_size=d.image_size)
+    val = ChestXrayDataset(d.val_dir, d.val_labels, image_size=d.image_size)
+    return train, val
+
+
+def create_model(config, rng):
+    model = build_model(config.model, precision=config.training.precision)
+    params = init_params(model, rng)
+    if config.model.pretrained_path and os.path.exists(config.model.pretrained_path):
+        params = load_mae_weights(
+            params, config.model.pretrained_path, depth=config.model.depth
+        )
+    return model, params
+
+
+def main():
+    args = parse_args()
+    config = load_config(args.config)
+
+    for dir_path in (config.paths.save_dir, config.paths.log_dir):
+        Path(dir_path).mkdir(parents=True, exist_ok=True)
+    setup_logging(config.to_dict())
+    log_system_info()
+
+    mesh = make_mesh(config.mesh)
+    logger.info(f"Mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    run = wandb_compat.init(config, log_dir=config.paths.log_dir)
+    try:
+        train_ds, val_ds = create_datasets(config, args.synthetic)
+        log_dataset_info(train_ds, val_ds)
+
+        train_loader = DataLoader(
+            train_ds, config.data.batch_size, shuffle=True,
+            num_workers=config.data.num_workers, drop_last=True,
+            seed=config.training.seed,
+        )
+        val_loader = DataLoader(
+            val_ds, config.data.batch_size, shuffle=False,
+            num_workers=config.data.num_workers,
+        )
+
+        model, params = create_model(config, jax.random.key(config.training.seed))
+        logger.info(f"Created model with {count_params(params)} parameters")
+
+        trainer = Trainer(
+            model=model, model_params=params,
+            train_loader=train_loader, val_loader=val_loader,
+            config=config, wandb_run=run, mesh=mesh,
+        )
+
+        resume_path = args.resume
+        if resume_path == "auto":
+            resume_path = ckpt_lib.latest_checkpoint(config.paths.save_dir)
+        if resume_path:
+            if os.path.isdir(resume_path):
+                trainer.restore_checkpoint(resume_path)
+            else:
+                logger.error(f"No checkpoint found at {resume_path}")
+
+        final_metrics = trainer.train()
+        logger.info("Training completed. Final metrics:")
+        for name, value in final_metrics.items():
+            logger.info(f"{name}: {value:.4f}")
+
+        MetricCalculator(train_ds.disease_names).plot_metrics(
+            trainer.train_metrics_history,
+            save_dir=os.path.join(config.paths.save_dir, "figures"),
+        )
+    except Exception as e:
+        logger.error(f"Training failed with error: {e}")
+        raise
+    finally:
+        run.finish()
+        logger.info("Training script completed")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Data-parallel training over the 8-device virtual mesh (SURVEY §2.6):
+batch sharded on 'data', params replicated, grads psum'd by the partitioner."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gavit_tpu.config import MeshConfig, from_dict
+from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
+from gavit_tpu.models.vit import build_model, init_params
+from gavit_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)
+from gavit_tpu.training import Trainer
+
+
+def _tiny_cfg(n_dev):
+    return from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 1, "num_heads": 2,
+                  "num_classes": 14, "drop_rate": 0.1,
+                  "graph": {"enabled": True, "num_blocks": 1,
+                            "adjacency": "knn", "k": 2}},
+        "data": {"batch_size": 2 * n_dev, "image_size": 16},
+        "training": {"epochs": 1, "warmup_epochs": 1, "precision": "fp32"},
+        "mesh": {"data": n_dev, "model": 1},
+    })
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    assert mesh.devices.shape == (8, 1)
+    assert mesh.axis_names == ("data", "model")
+    mesh_auto = make_mesh(MeshConfig(data=-1, model=1))
+    assert mesh_auto.devices.shape == (8, 1)
+
+
+def test_batch_sharded_across_devices():
+    mesh = make_mesh(MeshConfig(data=8))
+    x = np.zeros((16, 4), np.float32)
+    placed = shard_batch(mesh, x)
+    assert placed.sharding == batch_sharding(mesh)
+    # each device holds 2 rows
+    assert placed.addressable_shards[0].data.shape == (2, 4)
+
+
+def test_train_step_on_8_device_mesh():
+    n_dev = 8
+    cfg = _tiny_cfg(n_dev)
+    mesh = make_mesh(cfg.mesh)
+    model = build_model(cfg.model, precision="fp32")
+    params = init_params(model, jax.random.key(0))
+    ds = SyntheticChestXrayDataset(size=cfg.data.batch_size, image_size=16)
+    loader = DataLoader(ds, cfg.data.batch_size, num_workers=1)
+    trainer = Trainer(model, params, loader, loader, cfg, mesh=mesh)
+
+    images, labels = next(iter(loader))
+    batch = shard_batch(mesh, (images, labels))
+    state, metrics, preds = trainer._train_step(
+        trainer.state, trainer.base_rng, *batch
+    )
+    jax.block_until_ready(preds)
+    assert preds.shape == (cfg.data.batch_size, 14)
+    assert np.isfinite(float(metrics["loss"]))
+    # updated params stay replicated
+    w = state.params["model"]["head"]["kernel"]
+    assert w.sharding.is_fully_replicated
+
+
+def test_sharded_matches_single_device():
+    """The global computation must be independent of the mesh layout."""
+    cfg8 = _tiny_cfg(8)
+    cfg1 = _tiny_cfg(8)  # same global batch size
+    model = build_model(cfg8.model, precision="fp32")
+    params = init_params(model, jax.random.key(0))
+    ds = SyntheticChestXrayDataset(size=cfg8.data.batch_size, image_size=16)
+    loader = DataLoader(ds, cfg8.data.batch_size, num_workers=1)
+    images, labels = next(iter(loader))
+
+    mesh8 = make_mesh(MeshConfig(data=8))
+    mesh1 = make_mesh(MeshConfig(data=1), devices=jax.devices()[:1])
+    t8 = Trainer(model, params, loader, loader, cfg8, mesh=mesh8)
+    t1 = Trainer(model, params, loader, loader, cfg1, mesh=mesh1)
+
+    s8, m8, p8 = t8._train_step(t8.state, t8.base_rng,
+                                *shard_batch(mesh8, (images, labels)))
+    s1, m1, p1 = t1._train_step(t1.state, t1.base_rng,
+                                *shard_batch(mesh1, (images, labels)))
+    assert abs(float(m8["loss"]) - float(m1["loss"])) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(s8.params["model"]["head"]["kernel"]),
+        np.asarray(s1.params["model"]["head"]["kernel"]),
+        atol=1e-6,
+    )
+
+
+def test_dryrun_multichip_entrypoint():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

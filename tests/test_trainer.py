@@ -1,0 +1,109 @@
+"""Trainer end-to-end: smoke training, metric surfaces, checkpoint full
+resume (fixing the reference's weights-only resume — SURVEY §0.5)."""
+
+import jax
+import numpy as np
+import pytest
+
+from gavit_tpu.config import from_dict
+from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
+from gavit_tpu.models.vit import build_model, init_params
+from gavit_tpu.training import Trainer
+from gavit_tpu.utils import checkpoint as ckpt_lib
+
+
+def _setup(tmp_path, epochs=2, graph=True):
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 2, "num_heads": 2,
+                  "num_classes": 14, "drop_rate": 0.1,
+                  "graph": {"enabled": graph, "num_blocks": 1,
+                            "adjacency": "knn", "k": 2}},
+        "data": {"batch_size": 16, "image_size": 16},
+        "training": {"epochs": epochs, "warmup_epochs": 1,
+                     "early_stopping_patience": 10, "log_every": 100,
+                     "precision": "fp32"},
+        "paths": {"save_dir": str(tmp_path / "ckpt"),
+                  "log_dir": str(tmp_path / "logs")},
+    })
+    model = build_model(cfg.model, precision="fp32")
+    params = init_params(model, jax.random.key(0))
+    tr = SyntheticChestXrayDataset(size=48, image_size=16, seed=0)
+    va = SyntheticChestXrayDataset(size=32, image_size=16, seed=1)
+    tl = DataLoader(tr, 16, shuffle=True, num_workers=1)
+    vl = DataLoader(va, 16, num_workers=1)
+    return cfg, Trainer(model, params, tl, vl, cfg)
+
+
+def test_train_returns_reference_metric_surface(tmp_path):
+    _, trainer = _setup(tmp_path)
+    result = trainer.train()
+    for key in ("best_val_auc", "final_train_loss", "final_train_auc",
+                "final_val_loss", "final_val_auc"):
+        assert key in result and np.isfinite(result[key])
+    assert len(trainer.train_metrics_history) == 2
+    # per-disease + loss-component keys present (trainer.py:148-158 parity)
+    m = trainer.train_metrics_history[0]
+    for comp in ("loss_total", "loss_wbce", "loss_focal", "loss_asl"):
+        assert comp in m
+    assert "Atelectasis_auc" in m
+    assert "images_per_sec" in m
+
+
+def test_step_counter_advances(tmp_path):
+    _, trainer = _setup(tmp_path, epochs=1)
+    trainer.train()
+    assert int(trainer.state.step) == 3  # 48/16 batches x 1 epoch
+
+
+def test_checkpoint_full_resume(tmp_path):
+    cfg, trainer = _setup(tmp_path, epochs=1)
+    trainer.train()
+    step_before = int(trainer.state.step)
+    best_before = trainer.best_val_auc
+    latest = ckpt_lib.latest_checkpoint(cfg.paths.save_dir)
+    assert latest is not None
+
+    # fresh trainer (new params) restores everything
+    cfg2, trainer2 = _setup(tmp_path, epochs=1)
+    trainer2.restore_checkpoint(latest)
+    assert int(trainer2.state.step) == step_before
+    assert trainer2.current_epoch == 1  # resumes AFTER the saved epoch
+    assert abs(trainer2.best_val_auc - best_before) < 1e-9
+    np.testing.assert_allclose(
+        np.asarray(trainer2.state.params["model"]["head"]["kernel"]),
+        np.asarray(trainer.state.params["model"]["head"]["kernel"]),
+    )
+    # optimizer moments restored too (not just weights)
+    def first_mu(state):
+        inner = state.opt_state.inner_states["model"].inner_state
+        return jax.tree.leaves(inner)[1]
+
+    np.testing.assert_allclose(
+        np.asarray(first_mu(trainer2.state))[:2],
+        np.asarray(first_mu(trainer.state))[:2],
+    )
+
+
+def test_early_stopping_counter(tmp_path):
+    cfg, trainer = _setup(tmp_path, epochs=1)
+    trainer.best_val_auc = 2.0  # unbeatable → patience increments
+    trainer.early_stop_patience = 1
+    trainer.train()
+    assert trainer.patience_counter >= 1
+
+
+def test_best_model_saved(tmp_path):
+    import os
+
+    cfg, trainer = _setup(tmp_path, epochs=1)
+    trainer.train()
+    assert os.path.isdir(os.path.join(cfg.paths.save_dir, "best_model"))
+
+
+def test_validate_deterministic(tmp_path):
+    _, trainer = _setup(tmp_path, epochs=1)
+    m1 = trainer.validate()
+    m2 = trainer.validate()
+    assert m1["loss"] == pytest.approx(m2["loss"], abs=1e-7)
+    assert m1["mean_auc"] == pytest.approx(m2["mean_auc"], abs=1e-9)
