@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gavit_tpu.ops.attention import multi_head_attention
+from gavit_tpu.ops.attention import attention_reference, multi_head_attention
 
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 LN_EPS = 1e-5
@@ -111,7 +111,7 @@ class Attention(nn.Module):
     impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, return_probs: bool = False):
         b, n, c = x.shape
         h = self.num_heads
         hd = c // h
@@ -127,15 +127,27 @@ class Attention(nn.Module):
         dropout_rng = None
         if self.attn_drop > 0.0 and not deterministic:
             dropout_rng = self.make_rng("dropout")
-        out = multi_head_attention(
-            q, k, v, hd ** -0.5,
-            impl=self.impl,
-            dropout_rate=self.attn_drop if not deterministic else 0.0,
-            dropout_rng=dropout_rng,
-        )
+        probs = None
+        if return_probs:
+            # interpretability capture needs the [B,H,N,N] probabilities,
+            # which the fused kernel deliberately never materialises
+            out, probs = attention_reference(
+                q, k, v, hd ** -0.5,
+                dropout_rate=self.attn_drop if not deterministic else 0.0,
+                dropout_rng=dropout_rng, return_probs=True,
+            )
+        else:
+            out = multi_head_attention(
+                q, k, v, hd ** -0.5,
+                impl=self.impl,
+                dropout_rate=self.attn_drop if not deterministic else 0.0,
+                dropout_rng=dropout_rng,
+            )
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = nn.Dense(c, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        if return_probs:
+            return out, probs
         return out
 
 
@@ -153,7 +165,7 @@ class Block(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, return_probs: bool = False):
         def maybe_drop_path(y):
             if self.drop_path_rate > 0.0 and not deterministic:
                 return drop_path(
@@ -162,12 +174,15 @@ class Block(nn.Module):
             return y
 
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm1")(x)
-        h = Attention(
+        attn_out = Attention(
             dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
             impl=self.attn_impl, name="attn",
-        )(h.astype(self.dtype), deterministic)
-        x = x + maybe_drop_path(h)
+        )(h.astype(self.dtype), deterministic, return_probs=return_probs)
+        probs = None
+        if return_probs:
+            attn_out, probs = attn_out
+        x = x + maybe_drop_path(attn_out)
 
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm2")(x)
         h = Mlp(
@@ -175,4 +190,6 @@ class Block(nn.Module):
             drop=self.drop, dtype=self.dtype, name="mlp",
         )(h.astype(self.dtype), deterministic)
         x = x + maybe_drop_path(h)
+        if return_probs:
+            return x, probs
         return x

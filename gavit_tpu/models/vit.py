@@ -42,7 +42,25 @@ class VisionTransformer(nn.Module):
     graph_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, capture: str | None = None):
+    def __call__(
+        self,
+        x,
+        deterministic: bool = True,
+        capture: str | None = None,
+        token_probe: tuple | None = None,
+    ):
+        """Forward pass.
+
+        Args:
+          capture: None | 'tokens' (per-block token activations) |
+            'attention' (per-block [B,H,N,N] attention probabilities — uses
+            the reference attention path since the fused kernel never
+            materialises them).
+          token_probe: (block_index, probe_array) — the probe is ADDED to
+            that block's output; differentiating w.r.t. it yields gradients
+            w.r.t. the tokens (the functional analogue of a backward hook,
+            used by Grad-CAM).
+        """
         cfg = self.cfg
         b = x.shape[0]
         d = cfg.embed_dim
@@ -71,6 +89,10 @@ class VisionTransformer(nn.Module):
             cfg.drop_path_rate * i / max(cfg.depth - 1, 1) for i in range(cfg.depth)
         ]
 
+        probe_index = None
+        if token_probe is not None:
+            probe_index = token_probe[0] % cfg.depth
+
         captured = []
         adj = None
         g_idx = 0
@@ -80,7 +102,12 @@ class VisionTransformer(nn.Module):
                 qkv_bias=cfg.qkv_bias, drop=cfg.drop_rate,
                 attn_drop=cfg.attn_drop_rate, drop_path_rate=dpr[i],
                 dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}",
-            )(x, deterministic)
+            )(x, deterministic, return_probs=(capture == "attention"))
+            if capture == "attention":
+                x, probs = x
+                captured.append(probs)
+            if probe_index is not None and i == probe_index:
+                x = x + token_probe[1].astype(x.dtype)
             if capture == "tokens":
                 captured.append(x)
             if i in graph_sites:
@@ -101,7 +128,7 @@ class VisionTransformer(nn.Module):
         )(cls_out)
         logits = logits.astype(jnp.float32)
 
-        if capture == "tokens":
+        if capture in ("tokens", "attention"):
             return logits, captured
         return logits
 

@@ -48,13 +48,16 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def attention_reference(q, k, v, scale, dropout_rate=0.0, dropout_rng=None):
+def attention_reference(
+    q, k, v, scale, dropout_rate=0.0, dropout_rng=None, return_probs=False
+):
     """softmax(q kᵀ · scale) v with optional probability dropout.
 
     Args:
       q, k, v: [B, H, N, d]
     Returns:
-      [B, H, N, d] in q.dtype, with fp32 softmax.
+      [B, H, N, d] in q.dtype, with fp32 softmax — and the [B, H, N, N]
+      probabilities too when ``return_probs`` (interpretability capture).
     """
     s = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32,
@@ -68,7 +71,10 @@ def attention_reference(q, k, v, scale, dropout_rate=0.0, dropout_rng=None):
         "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
         preferred_element_type=jnp.float32, precision=_prec(v.dtype),
     )
-    return out.astype(q.dtype)
+    out = out.astype(q.dtype)
+    if return_probs:
+        return out, p
+    return out
 
 
 # ---------------------------------------------------------------------------

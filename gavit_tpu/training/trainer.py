@@ -50,6 +50,11 @@ from gavit_tpu.training.optimizer import make_optimizer
 from gavit_tpu.training.schedule import warmup_cosine_schedule
 from gavit_tpu.utils import checkpoint as ckpt_lib
 from gavit_tpu.utils.metrics import MetricCalculator
+from gavit_tpu.utils.preemption import PreemptionHandler
+
+
+class _Preempted(Exception):
+    pass
 
 logger = logging.getLogger(__name__)
 
@@ -123,6 +128,7 @@ class Trainer:
 
         self._train_step = self._build_train_step(config.data.augment_affine)
         self._eval_step = self._build_eval_step()
+        self._preemption: PreemptionHandler | None = None
 
     # ------------------------------------------------------------------
     # jitted steps
@@ -210,6 +216,9 @@ class Trainer:
             targets_acc.append(labels)
             metric_acc.append(metrics)
             n_images += preds.shape[0]
+
+            if self._preemption is not None and self._preemption.preempted:
+                raise _Preempted()
 
             if batch_idx % tr.log_every == 0:
                 step = int(self.state.step) - 1
@@ -307,6 +316,7 @@ class Trainer:
     def train(self) -> dict:
         logger.info("Starting training...")
         tr = self.config.training
+        self._preemption = PreemptionHandler().install()
         try:
             for epoch in range(self.start_epoch, tr.epochs):
                 self.current_epoch = epoch
@@ -360,16 +370,36 @@ class Trainer:
                 if self.patience_counter >= self.early_stop_patience:
                     logger.info("Early stopping triggered")
                     break
+
+                if self._preemption.preempted:
+                    raise _Preempted()
+        except _Preempted:
+            # SIGTERM (TPU-VM preemption): save a full-resume checkpoint for
+            # the last COMPLETED epoch so `--resume auto` replays correctly
+            logger.warning("Preempted — saving resume checkpoint and exiting")
+            self.current_epoch = max(self.current_epoch - 1, 0)
+            last_metrics = (
+                self.val_metrics_history[-1]
+                if self.val_metrics_history
+                else {"mean_auc": 0.0}
+            )
+            self.save_checkpoint(last_metrics, is_best=False)
         except Exception as e:
             logger.error(f"Training failed with error: {e}")
             raise
         finally:
+            self._preemption.uninstall()
+            self._preemption = None
             logger.info("Training completed!")
 
+        last_train = self.train_metrics_history[-1] if (
+            self.train_metrics_history) else {}
+        last_val = self.val_metrics_history[-1] if (
+            self.val_metrics_history) else {}
         return {
             "best_val_auc": float(self.best_val_auc),
-            "final_train_loss": float(self.train_metrics_history[-1]["loss"]),
-            "final_train_auc": float(self.train_metrics_history[-1]["mean_auc"]),
-            "final_val_loss": float(self.val_metrics_history[-1]["loss"]),
-            "final_val_auc": float(self.val_metrics_history[-1]["mean_auc"]),
+            "final_train_loss": float(last_train.get("loss", float("nan"))),
+            "final_train_auc": float(last_train.get("mean_auc", float("nan"))),
+            "final_val_loss": float(last_val.get("loss", float("nan"))),
+            "final_val_auc": float(last_val.get("mean_auc", float("nan"))),
         }
