@@ -28,6 +28,9 @@ def log(msg):
 
 
 def main():
+    import gavit_tpu
+
+    gavit_tpu.setup_compilation_cache()
     from gavit_tpu.config import from_dict
     from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
     from gavit_tpu.models.vit import build_model, init_params

@@ -21,4 +21,23 @@ Layout:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def setup_compilation_cache(path: str | None = None):
+    """Enable JAX's persistent compilation cache (full train-step compiles
+    take minutes on tunneled TPU backends; the cache makes re-runs instant).
+    Called by the CLIs and bench; safe to call multiple times."""
+    import jax
+
+    cache_dir = path or _os.environ.get(
+        "GAVIT_COMPILE_CACHE", _os.path.expanduser("~/.gavit_jax_cache")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:  # older jax without these options
+        pass
+
+
 from gavit_tpu.config import Config, load_config  # noqa: F401

@@ -222,6 +222,11 @@ class TrainingConfig:
     # random bits ~3x faster than 'threefry2x32' on TPU (hardware-friendly
     # counter RNG) and is partitionable across the mesh.
     prng_impl: str = "rbg"
+    # number of optimizer steps fused into ONE device dispatch via lax.scan.
+    # Amortises host→device dispatch latency (large on tunneled TPU setups);
+    # logging/metric granularity stays per-step, checkpoints land on
+    # chunk boundaries.
+    steps_per_call: int = 1
     criterion_lr_scale: float = 0.1  # reference trainer.py:50 (0.1 x lr)
     min_delta: float = 1e-4  # reference trainer.py:71
     log_every: int = 100  # reference trainer.py:141

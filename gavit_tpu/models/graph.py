@@ -64,7 +64,7 @@ class GraphBlock(nn.Module):
         else:
             t = x[:, 1:]
 
-        h = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm")(t)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(t)
         h = h.astype(self.dtype)
         values = nn.Dense(
             self.dim, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init, name="value"

@@ -173,7 +173,7 @@ class Block(nn.Module):
                 )
             return y
 
-        h = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
         attn_out = Attention(
             dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
@@ -184,7 +184,7 @@ class Block(nn.Module):
             attn_out, probs = attn_out
         x = x + maybe_drop_path(attn_out)
 
-        h = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
         h = Mlp(
             hidden_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
             drop=self.drop, dtype=self.dtype, name="mlp",

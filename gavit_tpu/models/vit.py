@@ -120,7 +120,7 @@ class VisionTransformer(nn.Module):
                     adj = new_adj
                 g_idx += 1
 
-        x = nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32, name="norm")(x)
+        x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
         feats = x.astype(self.dtype)
         cls_out = feats[:, 0]
         logits = nn.Dense(

@@ -137,8 +137,7 @@ class Trainer:
     def _build_train_step(self, use_affine: bool):
         model, tx, pos_weight = self.model, self.tx, self.pos_weight
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: TrainState, rng, images, labels):
+        def step_body(state: TrainState, rng, images, labels):
             step_rng = jax.random.fold_in(rng, state.step)
             k_aug, k_drop = jax.random.split(step_rng)
             if images.dtype == jnp.uint8:
@@ -172,6 +171,26 @@ class Trainer:
             preds = jax.nn.sigmoid(logits)
             return new_state, metrics, preds
 
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, rng, images, labels):
+            return step_body(state, rng, images, labels)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_multi(state: TrainState, rng, images, labels):
+            """K optimizer steps in one dispatch: images/labels are
+            [K, B, ...]; lax.scan carries the train state through all K."""
+
+            def body(state, batch):
+                im, lb = batch
+                state, metrics, preds = step_body(state, rng, im, lb)
+                return state, (metrics, preds)
+
+            state, (metrics, preds) = jax.lax.scan(
+                body, state, (images, labels)
+            )
+            return state, metrics, preds  # metrics: dict of [K]; preds [K,B,C]
+
+        self._train_multi = train_multi
         return train_step
 
     def _build_eval_step(self):
@@ -198,6 +217,43 @@ class Trainer:
         if self.wandb is not None:
             self.wandb.log(data)
 
+    def _chunked_batches(self):
+        """Yield (is_stacked, images, labels): K host batches stacked into one
+        [K, B, ...] device transfer when steps_per_call > 1."""
+        from gavit_tpu.parallel.mesh import shard_batch, stacked_batch_sharding
+
+        k = max(1, self.config.training.steps_per_call)
+        if k == 1:
+            for batch in device_iterator(
+                self.train_loader, self.mesh, prefetch=self.config.data.prefetch
+            ):
+                yield False, batch[0], batch[1]
+            return
+
+        stacked_sh = stacked_batch_sharding(self.mesh)
+        buf_im, buf_lb = [], []
+        bs = None
+        for images, labels in self.train_loader:
+            if bs is None:
+                bs = images.shape[0]
+            if images.shape[0] == bs:
+                buf_im.append(images)
+                buf_lb.append(labels)
+            else:  # ragged tail batch — flush buffer, emit singly
+                if buf_im:
+                    for im, lb in zip(buf_im, buf_lb):
+                        yield False, *shard_batch(self.mesh, (im, lb))
+                    buf_im, buf_lb = [], []
+                yield False, *shard_batch(self.mesh, (images, labels))
+                continue
+            if len(buf_im) == k:
+                yield True, jax.device_put(
+                    np.stack(buf_im), stacked_sh
+                ), jax.device_put(np.stack(buf_lb), stacked_sh)
+                buf_im, buf_lb = [], []
+        for im, lb in zip(buf_im, buf_lb):
+            yield False, *shard_batch(self.mesh, (im, lb))
+
     def train_epoch(self) -> dict:
         tr = self.config.training
         preds_acc, targets_acc, metric_acc = [], [], []
@@ -205,39 +261,52 @@ class Trainer:
         t0 = time.perf_counter()
 
         self.train_loader.set_epoch(self.current_epoch)
-        for batch_idx, (images, labels) in enumerate(
-            device_iterator(self.train_loader, self.mesh,
-                            prefetch=self.config.data.prefetch)
-        ):
-            self.state, metrics, preds = self._train_step(
-                self.state, self.base_rng, images, labels
-            )
-            preds_acc.append(preds)
-            targets_acc.append(labels)
-            metric_acc.append(metrics)
-            n_images += preds.shape[0]
+        step_in_epoch = 0
+        for is_stacked, images, labels in self._chunked_batches():
+            if is_stacked:
+                self.state, metrics, preds = self._train_multi(
+                    self.state, self.base_rng, images, labels
+                )
+                k, b = preds.shape[0], preds.shape[1]
+                preds_acc.append(preds.reshape(k * b, -1))
+                targets_acc.append(labels.reshape(k * b, -1))
+                metric_acc.append(metrics)  # dict of [K]
+                n_images += k * b
+                steps_done = k
+            else:
+                self.state, metrics, preds = self._train_step(
+                    self.state, self.base_rng, images, labels
+                )
+                preds_acc.append(preds)
+                targets_acc.append(labels)
+                metric_acc.append(metrics)
+                n_images += preds.shape[0]
+                steps_done = 1
 
             if self._preemption is not None and self._preemption.preempted:
                 raise _Preempted()
 
-            if batch_idx % tr.log_every == 0:
+            if step_in_epoch % tr.log_every < steps_done:
                 step = int(self.state.step) - 1
                 lr = float(self.lr_schedule(step))
-                batch = {k: float(v) for k, v in metrics.items()}
+                loss_val = np.asarray(metrics["loss"]).reshape(-1)[-1]
                 logger.info(
-                    f"Epoch {self.current_epoch + 1} step {batch_idx}: "
-                    f"loss {batch['loss']:.4f}, lr {lr:.2e}"
+                    f"Epoch {self.current_epoch + 1} step {step_in_epoch}: "
+                    f"loss {float(loss_val):.4f}, lr {lr:.2e}"
                 )
                 self._log({
-                    "train/batch_loss": batch["loss"],
+                    "train/batch_loss": float(loss_val),
                     "train/learning_rate": lr,
-                    **{f"train/batch_loss_{k}": v for k, v in batch.items()},
                 })
+            step_in_epoch += steps_done
 
         elapsed = time.perf_counter() - t0
         predictions = np.vstack([np.asarray(p) for p in jax.device_get(preds_acc)])
         targets = np.vstack([np.asarray(t) for t in jax.device_get(targets_acc)])
-        losses = jax.device_get(metric_acc)
+        losses = [
+            {k: v for k, v in jax.tree.map(np.mean, m).items()}
+            for m in jax.device_get(metric_acc)
+        ]
 
         metrics = self.metric_calculator.calculate_metrics(targets, predictions)
         for key in ("loss", "wbce", "focal", "asl"):

@@ -31,6 +31,10 @@ import jax
 if os.environ.get("GAVIT_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["GAVIT_PLATFORM"])
 
+import gavit_tpu
+
+gavit_tpu.setup_compilation_cache()
+
 import numpy as np
 
 import matplotlib

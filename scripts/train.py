@@ -30,6 +30,10 @@ import jax
 if os.environ.get("GAVIT_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["GAVIT_PLATFORM"])
 
+import gavit_tpu
+
+gavit_tpu.setup_compilation_cache()
+
 from gavit_tpu.config import load_config
 from gavit_tpu.data import ChestXrayDataset, DataLoader, SyntheticChestXrayDataset
 from gavit_tpu.models.vit import build_model, count_params, init_params
