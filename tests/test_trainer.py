@@ -101,6 +101,26 @@ def test_best_model_saved(tmp_path):
     assert os.path.isdir(os.path.join(cfg.paths.save_dir, "best_model"))
 
 
+def test_steps_per_call_equivalence(tmp_path):
+    """K fused steps via lax.scan must produce bit-for-bit the same training
+    trajectory as K separate dispatches (same rng folding by state.step)."""
+    import dataclasses
+
+    cfg1, t1 = _setup(tmp_path / "a", epochs=1)
+    cfg2, t2 = _setup(tmp_path / "b", epochs=1)
+    t2.config = dataclasses.replace(
+        cfg2, training=dataclasses.replace(cfg2.training, steps_per_call=2)
+    )
+    t1.train_epoch()
+    t2.train_epoch()
+    assert int(t1.state.step) == int(t2.state.step)
+    np.testing.assert_allclose(
+        np.asarray(t1.state.params["model"]["head"]["kernel"]),
+        np.asarray(t2.state.params["model"]["head"]["kernel"]),
+        atol=1e-6,
+    )
+
+
 def test_validate_deterministic(tmp_path):
     _, trainer = _setup(tmp_path, epochs=1)
     m1 = trainer.validate()
