@@ -1,0 +1,139 @@
+"""Inference / serving layer.
+
+The reference's only inference surface is offline batch evaluation
+(``/root/reference/scripts/evaluate.py:104-153``). This module adds the
+production path the north star's latency metric implies:
+
+* ``Predictor`` — checkpoint → jitted end-to-end predict function
+  (uint8 NHWC in, per-disease sigmoid probabilities out), with
+  * batch-size **bucketing** (requests padded up to the nearest bucket so
+    every shape is compiled once — no recompiles in steady state),
+  * device-resident weights (optionally bf16 for 2× HBM-bandwidth
+    headroom; logits always fp32),
+  * fused preprocessing (normalise inside the jit, uint8 on the wire), and
+  * a latency tracker reporting p50/p95/p99 over the serve lifetime.
+* ``Predictor.predict_proba`` — numpy in/out convenience for host callers.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gavit_tpu.config import Config
+from gavit_tpu.data.dataset import DISEASE_NAMES
+from gavit_tpu.models.vit import build_model, init_params
+from gavit_tpu.ops.preprocess import val_preprocess
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_BUCKETS = (1, 8, 32, 128)
+
+
+class Predictor:
+    def __init__(
+        self,
+        config: Config,
+        checkpoint_path: str | None = None,
+        *,
+        precision: str = "fp32",
+        buckets: tuple = DEFAULT_BUCKETS,
+        params=None,
+    ):
+        import dataclasses
+
+        model_cfg = dataclasses.replace(config.model, drop_rate=0.0)
+        self.model = build_model(model_cfg, precision=precision)
+        self.config = config
+        self.buckets = tuple(sorted(buckets))
+        self.disease_names = DISEASE_NAMES[: model_cfg.num_classes]
+
+        if params is None:
+            params = init_params(self.model, jax.random.key(0))
+            if checkpoint_path:
+                from gavit_tpu.utils import checkpoint as ckpt_lib
+
+                state, _ = ckpt_lib.restore_unstructured(checkpoint_path)
+                params = jax.tree.map(
+                    lambda tmpl, v: jnp.asarray(v, tmpl.dtype),
+                    params,
+                    state["params"]["model"],
+                )
+        self.params = jax.device_put(params)
+
+        @jax.jit
+        def predict_fn(params, images_u8):
+            x = val_preprocess(images_u8)
+            logits = self.model.apply({"params": params}, x, deterministic=True)
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+        self._predict = predict_fn
+        self._latencies_ms: list[float] = []
+
+    # ------------------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def warmup(self):
+        """Pre-compile every bucket shape (avoids first-request stalls)."""
+        s = self.config.data.image_size
+        for b in self.buckets:
+            x = np.zeros((b, s, s, 3), np.uint8)
+            jax.block_until_ready(self._predict(self.params, x))
+        logger.info(f"Predictor warm for buckets {self.buckets}")
+
+    def predict_proba(self, images_u8: np.ndarray) -> np.ndarray:
+        """uint8 [N, S, S, 3] → probabilities [N, num_classes] (numpy).
+
+        Requests larger than the top bucket are processed in top-bucket
+        chunks; smaller ones pad up to the nearest bucket.
+        """
+        images_u8 = np.asarray(images_u8, np.uint8)
+        if images_u8.ndim == 3:
+            images_u8 = images_u8[None]
+        n = images_u8.shape[0]
+        top = self.buckets[-1]
+        outs = []
+        t0 = time.perf_counter()
+        for start in range(0, n, top):
+            chunk = images_u8[start : start + top]
+            m = chunk.shape[0]
+            b = self._bucket(m)
+            if m < b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((b - m,) + chunk.shape[1:], np.uint8)]
+                )
+            probs = np.asarray(self._predict(self.params, chunk))
+            outs.append(probs[:m])
+        self._latencies_ms.append((time.perf_counter() - t0) * 1000)
+        return np.concatenate(outs)
+
+    def predict_labels(self, images_u8, threshold: float = 0.5):
+        """Disease-name lists per image at the given threshold."""
+        probs = self.predict_proba(images_u8)
+        return [
+            [self.disease_names[i] for i in np.nonzero(row > threshold)[0]]
+            for row in probs
+        ]
+
+    # ------------------------------------------------------------------
+
+    def latency_stats(self) -> dict:
+        if not self._latencies_ms:
+            return {}
+        arr = np.asarray(self._latencies_ms)
+        return {
+            "count": int(arr.size),
+            "p50_ms": float(np.percentile(arr, 50)),
+            "p95_ms": float(np.percentile(arr, 95)),
+            "p99_ms": float(np.percentile(arr, 99)),
+            "mean_ms": float(arr.mean()),
+        }

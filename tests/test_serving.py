@@ -1,0 +1,68 @@
+"""Predictor serving layer: bucketing, padding correctness, latency stats."""
+
+import numpy as np
+
+from gavit_tpu.config import from_dict
+from gavit_tpu.serving import Predictor
+
+
+def _predictor(buckets=(1, 4, 8)):
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 1, "num_heads": 2,
+                  "num_classes": 14,
+                  "graph": {"enabled": True, "num_blocks": 1,
+                            "adjacency": "knn", "k": 2}},
+        "data": {"image_size": 16},
+    })
+    return Predictor(cfg, buckets=buckets)
+
+
+def test_predict_shapes_and_range():
+    p = _predictor()
+    imgs = np.random.default_rng(0).integers(0, 255, (3, 16, 16, 3), np.uint8)
+    probs = p.predict_proba(imgs)
+    assert probs.shape == (3, 14)
+    assert (probs >= 0).all() and (probs <= 1).all()
+
+
+def test_padding_does_not_change_results():
+    """A request of size 3 runs in the 4-bucket; results must equal an
+    unpadded run sample-for-sample."""
+    p = _predictor()
+    imgs = np.random.default_rng(1).integers(0, 255, (8, 16, 16, 3), np.uint8)
+    full = p.predict_proba(imgs)  # exactly the 8 bucket
+    part = p.predict_proba(imgs[:3])  # padded 3 → 4
+    np.testing.assert_allclose(part, full[:3], atol=1e-5)
+
+
+def test_oversized_request_chunks():
+    p = _predictor(buckets=(1, 4))
+    imgs = np.random.default_rng(2).integers(0, 255, (10, 16, 16, 3), np.uint8)
+    probs = p.predict_proba(imgs)
+    assert probs.shape == (10, 14)
+    ref = p.predict_proba(imgs[4:8])
+    np.testing.assert_allclose(probs[4:8], ref, atol=1e-5)
+
+
+def test_single_image_and_3d_input():
+    p = _predictor()
+    img = np.random.default_rng(3).integers(0, 255, (16, 16, 3), np.uint8)
+    probs = p.predict_proba(img)
+    assert probs.shape == (1, 14)
+
+
+def test_predict_labels_and_latency_stats():
+    p = _predictor()
+    imgs = np.random.default_rng(4).integers(0, 255, (2, 16, 16, 3), np.uint8)
+    labels = p.predict_labels(imgs, threshold=0.0)  # everything predicted
+    assert len(labels) == 2 and len(labels[0]) == 14
+    labels_none = p.predict_labels(imgs, threshold=1.1)
+    assert labels_none[0] == []
+    stats = p.latency_stats()
+    assert stats["count"] >= 2 and stats["p50_ms"] > 0
+
+
+def test_warmup_compiles_buckets():
+    p = _predictor(buckets=(1, 2))
+    p.warmup()  # should not raise
