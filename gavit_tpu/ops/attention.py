@@ -249,6 +249,21 @@ def attention_pallas(q, k, v, scale):
 # ---------------------------------------------------------------------------
 
 
+def attention_xla(q, k, v, scale):
+    """XLA's built-in fused attention (jax.nn.dot_product_attention).
+
+    Kept as a comparison/fallback implementation; expects [B, H, N, d] like
+    the other paths (jax.nn uses [B, N, H, d] internally).
+    """
+    out = jax.nn.dot_product_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        scale=scale,
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
 def multi_head_attention(
     q,
     k,
@@ -264,7 +279,8 @@ def multi_head_attention(
     ``impl='auto'`` uses the fused Pallas kernel on TPU (and interpret mode on
     CPU tests) unless attention dropout is active, which only the reference
     path supports (the reference model defaults attn_drop=0, see
-    ``/root/reference/src/models/vit.py:127``).
+    ``/root/reference/src/models/vit.py:127``). ``impl='xla'`` uses
+    jax.nn.dot_product_attention.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -272,5 +288,9 @@ def multi_head_attention(
     if impl == "reference" or (impl == "auto" and use_dropout):
         return attention_reference(q, k, v, scale, dropout_rate, dropout_rng)
     if use_dropout:
-        raise ValueError("pallas attention does not support attention dropout")
+        raise ValueError(
+            f"attention impl {impl!r} does not support attention dropout"
+        )
+    if impl == "xla":
+        return attention_xla(q, k, v, scale)
     return attention_pallas(q, k, v, scale)

@@ -385,7 +385,8 @@ class Trainer:
     def train(self) -> dict:
         logger.info("Starting training...")
         tr = self.config.training
-        self._preemption = PreemptionHandler().install()
+        if self._preemption is None:  # tests may inject a pre-armed handler
+            self._preemption = PreemptionHandler().install()
         try:
             for epoch in range(self.start_epoch, tr.epochs):
                 self.current_epoch = epoch

@@ -121,6 +121,38 @@ def test_steps_per_call_equivalence(tmp_path):
     )
 
 
+def test_preemption_saves_resume_checkpoint(tmp_path):
+    """A latched SIGTERM makes train() checkpoint and exit cleanly instead of
+    finishing all epochs (TPU-VM preemption path)."""
+    import os
+
+    from gavit_tpu.utils.preemption import PreemptionHandler
+
+    cfg, trainer = _setup(tmp_path, epochs=50)  # would run 50 epochs
+    handler = PreemptionHandler()
+    handler._flag.set()  # pre-armed: preempt at the first safe point
+    trainer._preemption = handler
+    result = trainer.train()  # returns, does not raise
+    assert isinstance(result, dict)
+    # it stopped early and saved a checkpoint
+    names = os.listdir(cfg.paths.save_dir)
+    assert any(n.startswith("checkpoint_epoch_") for n in names)
+    assert len(trainer.train_metrics_history) < 50
+
+
+def test_preemption_handler_signal():
+    import os
+    import signal
+
+    from gavit_tpu.utils.preemption import PreemptionHandler
+
+    h = PreemptionHandler(signals=(signal.SIGUSR1,)).install()
+    assert not h.preempted
+    os.kill(os.getpid(), signal.SIGUSR1)
+    assert h.preempted
+    h.uninstall()
+
+
 def test_validate_deterministic(tmp_path):
     _, trainer = _setup(tmp_path, epochs=1)
     m1 = trainer.validate()
