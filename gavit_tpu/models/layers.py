@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gavit_tpu.ops.attention import attention_reference, multi_head_attention
+from gavit_tpu.ops.attention import (
+    attention_reference,
+    fused_qkv_attention,
+    multi_head_attention,
+)
 
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 LN_EPS = 1e-5
@@ -120,30 +124,36 @@ class Attention(nn.Module):
             precision=mm_precision(self.dtype), kernel_init=trunc_init, name="qkv",
         )(x)
         qkv = qkv.reshape(b, n, 3, h, hd)
-        q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # [B, H, N, hd]
-        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
 
-        dropout_rng = None
-        if self.attn_drop > 0.0 and not deterministic:
-            dropout_rng = self.make_rng("dropout")
-        probs = None
-        if return_probs:
-            # interpretability capture needs the [B,H,N,N] probabilities,
-            # which the fused kernel deliberately never materialises
-            out, probs = attention_reference(
-                q, k, v, hd ** -0.5,
-                dropout_rate=self.attn_drop if not deterministic else 0.0,
-                dropout_rng=dropout_rng, return_probs=True,
-            )
+        use_dropout = self.attn_drop > 0.0 and not deterministic
+        if self.impl in ("auto", "pallas") and not use_dropout and not return_probs:
+            # packed-QKV fused kernel: consumes the projection's natural
+            # layout — no head transposes, no padding (see ops/attention.py)
+            out = fused_qkv_attention(qkv, hd ** -0.5)
+            out = out.reshape(b, n, c)
+            probs = None
         else:
-            out = multi_head_attention(
-                q, k, v, hd ** -0.5,
-                impl=self.impl,
-                dropout_rate=self.attn_drop if not deterministic else 0.0,
-                dropout_rng=dropout_rng,
-            )
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+            q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # [B, H, N, hd]
+            k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+            v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+            dropout_rng = self.make_rng("dropout") if use_dropout else None
+            probs = None
+            if return_probs:
+                # interpretability capture needs the [B,H,N,N] probabilities,
+                # which the fused kernels deliberately never materialise
+                out, probs = attention_reference(
+                    q, k, v, hd ** -0.5,
+                    dropout_rate=self.attn_drop if not deterministic else 0.0,
+                    dropout_rng=dropout_rng, return_probs=True,
+                )
+            else:
+                out = multi_head_attention(
+                    q, k, v, hd ** -0.5,
+                    impl=self.impl,
+                    dropout_rate=self.attn_drop if not deterministic else 0.0,
+                    dropout_rng=dropout_rng,
+                )
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = nn.Dense(c, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         if return_probs:

@@ -245,6 +245,151 @@ def attention_pallas(q, k, v, scale):
 
 
 # ---------------------------------------------------------------------------
+# pallas fused path v2: per-image programs, all heads in-program, no padding
+# ---------------------------------------------------------------------------
+#
+# Profiling on v5e (BASELINE.md) showed the v1 kernel's cost was dominated by
+# data movement the op itself induced: host-level pad(197→256)/slice around
+# every call (≈19 ms/step at ViT-B b128) and a (B·H)-program grid whose tiny
+# per-program DMAs ran at 297 GB/s. v2 keeps the [B, H, N, d] layout but uses
+# one program per image with all H heads resident in VMEM (one ~900 KB DMA),
+# indexes heads on the leading (register) dim — Mosaic-friendly — and runs
+# the ragged N=197 directly (Mosaic masks the internal tiles; no host pads).
+
+
+def _fwd_kernel_v2(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int):
+    prec = _prec(q_ref.dtype)
+    for h in range(heads):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p * pl.reciprocal(l, approx=False)
+        o_ref[0, h] = jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+            precision=prec,
+        ).astype(o_ref.dtype)
+
+
+def _bwd_kernel_v2(
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+    *, scale: float, heads: int,
+):
+    prec = _prec(q_ref.dtype)
+    for h in range(heads):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        do = do_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p * pl.reciprocal(l, approx=False)
+
+        dv = jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32, precision=prec)
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
+
+
+def _img_specs(h, n, d, count):
+    return [
+        pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(count)
+    ]
+
+
+def _run_fwd_v2(q, k, v, scale):
+    b, h, n, d = q.shape
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_v2, scale=scale, heads=h),
+        grid=(b,),
+        in_specs=_img_specs(h, n, d, 3),
+        out_specs=pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * n * d,
+            bytes_accessed=4 * b * h * n * d * q.dtype.itemsize,
+            transcendentals=b * h * n * n,
+        ),
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention_v2(q, k, v, scale):
+    """MHSA over [B, H, N, d], per-image fused programs, unpadded."""
+    return _run_fwd_v2(q, k, v, scale)
+
+
+def _fa2_fwd(q, k, v, scale):
+    return _run_fwd_v2(q, k, v, scale), (q, k, v)
+
+
+def _fa2_bwd(scale, res, g):
+    q, k, v = res
+    b, h, n, d = q.shape
+    shapes = [jax.ShapeDtypeStruct((b, h, n, d), q.dtype) for _ in range(3)]
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_v2, scale=scale, heads=h),
+        grid=(b,),
+        in_specs=_img_specs(h, n, d, 4),
+        out_specs=_img_specs(h, n, d, 3),
+        out_shape=shapes,
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * b * h * n * n * d,
+            bytes_accessed=7 * b * h * n * d * q.dtype.itemsize,
+            transcendentals=b * h * n * n,
+        ),
+    )(q, k, v, g)
+    return dq, dk, dv
+
+
+fused_attention_v2.defvjp(_fa2_fwd, _fa2_bwd)
+
+
+def fused_qkv_attention(qkv, scale):
+    """MHSA on the packed projection: [B, N, 3, H, d] → [B, N, H, d].
+
+    Wrapper over the per-image fused kernel; the layout moves in/out are two
+    XLA transposes (cheap relative to the pad/slice traffic they replace).
+    """
+    b, n, three, h, d = qkv.shape
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    out = fused_attention_v2(q, k, v, scale)  # [B, H, N, d]
+    return out.transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
 # dispatcher
 # ---------------------------------------------------------------------------
 

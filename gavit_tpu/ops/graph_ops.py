@@ -190,10 +190,10 @@ def _interpret() -> bool:
 
 def _run_fused(tokens, values, mode, k, threshold, temperature):
     b, n, d = tokens.shape
-    n_pad = max(_round_up(n, _LANE), _LANE)
-    pad = [(0, 0), (0, n_pad - n), (0, 0)]
-    tp = jnp.pad(tokens, pad) if n_pad != n else tokens
-    vp = jnp.pad(values, pad) if n_pad != n else values
+    # no host-side padding: Mosaic tiles ragged N internally, and the
+    # pad/slice HBM traffic costs more than the masked tile edges
+    n_pad = n
+    tp, vp = tokens, values
     kern = functools.partial(
         _graph_kernel,
         mode=mode,
