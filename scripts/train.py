@@ -35,7 +35,12 @@ import gavit_tpu
 gavit_tpu.setup_compilation_cache()
 
 from gavit_tpu.config import load_config
-from gavit_tpu.data import ChestXrayDataset, DataLoader, SyntheticChestXrayDataset
+from gavit_tpu.data import (
+    ChestXrayDataset,
+    DataLoader,
+    PackedChestXrayDataset,
+    SyntheticChestXrayDataset,
+)
 from gavit_tpu.models.vit import build_model, count_params, init_params
 from gavit_tpu.parallel.mesh import make_mesh
 from gavit_tpu.training import Trainer
@@ -73,8 +78,14 @@ def create_datasets(config, synthetic: bool):
             image_size=d.image_size, seed=config.training.seed + 1,
         )
         return train, val
-    train = ChestXrayDataset(d.train_dir, d.train_labels, image_size=d.image_size)
-    val = ChestXrayDataset(d.val_dir, d.val_labels, image_size=d.image_size)
+    def open_split(directory, labels):
+        # packed memmap (scripts/prepare_dataset.py) feeds at memcpy speed
+        if PackedChestXrayDataset.is_packed(directory):
+            return PackedChestXrayDataset(directory)
+        return ChestXrayDataset(directory, labels, image_size=d.image_size)
+
+    train = open_split(d.train_dir, d.train_labels)
+    val = open_split(d.val_dir, d.val_labels)
     return train, val
 
 
