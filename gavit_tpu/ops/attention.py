@@ -1,22 +1,28 @@
 """Multi-head self-attention for TPU.
 
-Two interchangeable paths (selected by ``impl``):
+Interchangeable paths (selected by ``impl``):
 
 * ``"reference"`` — plain XLA einsum attention that materialises the
   ``[B, H, N, N]`` probability matrix. Mirrors the math of the PyTorch
   reference (``/root/reference/src/models/vit.py:55-72``: softmax(q·kᵀ·scale)·v)
-  and is the ground truth the Pallas kernel is tested against. Supports
-  attention-probability dropout.
+  and is the ground truth the Pallas kernels are tested against. Supports
+  attention-probability dropout and probability capture.
 
-* ``"pallas"`` — a fused one-pass Pallas kernel: per (batch, head) program the
-  whole [N, d] tile set lives in VMEM, the score matrix never round-trips to
-  HBM, softmax is computed in fp32, and a custom VJP implements the
-  flash-attention backward (recompute probabilities, no stored [N,N] tensor in
-  HBM). Sequences are zero-padded to a multiple of the 128-lane tile and
-  masked with -inf scores, so N=197 (224px) and N=577 (384px) both map onto
-  aligned MXU tiles.
+* ``"xla"`` — jax.nn.dot_product_attention (comparison/fallback).
 
-``"auto"`` picks pallas on TPU when attention dropout is off, else reference.
+* ``"pallas"`` (default on the model's hot path, via
+  :func:`fused_qkv_attention` / :func:`fused_attention_v2`) — fused one-pass
+  Pallas kernels: one program **per image** with all heads resident in VMEM,
+  scores never round-trip to HBM, fp32 softmax, and a custom VJP implements
+  the flash-attention backward (probabilities recomputed, nothing stored).
+  The ragged ViT sequence (N=197 at 224px, 577 at 384px) runs unpadded —
+  Mosaic masks the internal tile edges; an op-level v5e profile showed
+  host-side pad/slice around padded kernels cost more than they saved
+  (BASELINE.md).
+
+The v1 per-(batch·head) padded kernel (``attention_pallas``) is kept for the
+[B, H, N, d] dispatcher API and as a second implementation the tests
+cross-check.
 """
 
 from __future__ import annotations
@@ -259,7 +265,7 @@ def attention_pallas(q, k, v, scale):
 
 def _fwd_kernel_v2(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int):
     prec = _prec(q_ref.dtype)
-    for h in range(heads):
+    for h in range(heads):  # heads in this block (may be a chunk of the model's H)
         q = q_ref[0, h]
         k = k_ref[0, h]
         v = v_ref[0, h]
@@ -316,21 +322,42 @@ def _bwd_kernel_v2(
         dv_ref[0, h] = dv.astype(dv_ref.dtype)
 
 
-def _img_specs(h, n, d, count):
+def _img_specs(hc, n, d, count):
     return [
-        pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
+        pl.BlockSpec((1, hc, n, d), lambda i, j: (i, j, 0, 0),
                      memory_space=pltpu.VMEM)
         for _ in range(count)
     ]
 
 
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB scoped limit
+
+
+def _head_chunk(h: int, n: int, d: int, itemsize: int, n_refs: int,
+                n_score_bufs: int) -> int:
+    """Largest divisor of H whose per-program VMEM estimate fits the budget.
+
+    Estimate: ref blocks double-buffered + fp32 [N,N] score intermediates.
+    At 224px (N=197) all 12 ViT-B heads fit in one program; at 384px (N=577)
+    the backward pass needs head chunks (the full-H version exceeds the 16 MB
+    scoped VMEM by a few hundred KB — measured, BASELINE.md).
+    """
+    score_bytes = n_score_bufs * n * n * 4
+    for hc in sorted((c for c in range(1, h + 1) if h % c == 0), reverse=True):
+        est = 2 * n_refs * hc * n * d * itemsize + score_bytes
+        if est <= _VMEM_BUDGET:
+            return hc
+    return 1
+
+
 def _run_fwd_v2(q, k, v, scale):
     b, h, n, d = q.shape
+    hc = _head_chunk(h, n, d, q.dtype.itemsize, n_refs=4, n_score_bufs=2)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel_v2, scale=scale, heads=h),
-        grid=(b,),
-        in_specs=_img_specs(h, n, d, 3),
-        out_specs=pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
+        functools.partial(_fwd_kernel_v2, scale=scale, heads=hc),
+        grid=(b, h // hc),
+        in_specs=_img_specs(hc, n, d, 3),
+        out_specs=pl.BlockSpec((1, hc, n, d), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
         interpret=_interpret(),
@@ -355,12 +382,13 @@ def _fa2_fwd(q, k, v, scale):
 def _fa2_bwd(scale, res, g):
     q, k, v = res
     b, h, n, d = q.shape
+    hc = _head_chunk(h, n, d, q.dtype.itemsize, n_refs=7, n_score_bufs=5)
     shapes = [jax.ShapeDtypeStruct((b, h, n, d), q.dtype) for _ in range(3)]
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel_v2, scale=scale, heads=h),
-        grid=(b,),
-        in_specs=_img_specs(h, n, d, 4),
-        out_specs=_img_specs(h, n, d, 3),
+        functools.partial(_bwd_kernel_v2, scale=scale, heads=hc),
+        grid=(b, h // hc),
+        in_specs=_img_specs(hc, n, d, 4),
+        out_specs=_img_specs(hc, n, d, 3),
         out_shape=shapes,
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(

@@ -394,48 +394,64 @@ class Trainer:
                 train_metrics = self.train_epoch()
                 self.train_metrics_history.append(train_metrics)
 
-                val_metrics = self.validate()
-                self.val_metrics_history.append(val_metrics)
+                # reference declares eval_freq/save_freq in its config
+                # (baseline_config.yaml:39-40) but never wires them
+                # (trainer.py validates/saves unconditionally); here they work
+                run_val = (epoch + 1) % max(1, tr.eval_freq) == 0
+                if run_val:
+                    val_metrics = self.validate()
+                    self.val_metrics_history.append(val_metrics)
+                else:
+                    val_metrics = None
 
                 lr = float(self.lr_schedule(int(self.state.step) - 1))
-                self._log({
+                epoch_log = {
                     "epoch": epoch,
                     "train/loss": train_metrics["loss"],
                     "train/mean_auc": train_metrics["mean_auc"],
                     "train/images_per_sec": train_metrics["images_per_sec"],
-                    "val/loss": val_metrics["loss"],
-                    "val/mean_auc": val_metrics["mean_auc"],
                     "learning_rate": lr,
-                })
+                }
+                if val_metrics is not None:
+                    epoch_log["val/loss"] = val_metrics["loss"]
+                    epoch_log["val/mean_auc"] = val_metrics["mean_auc"]
+                self._log(epoch_log)
                 for disease in self.train_loader.dataset.disease_names:
                     key = f"{disease}_auc"
-                    if key in train_metrics and key in val_metrics:
-                        self._log({
-                            f"train/auc_{disease}": train_metrics[key],
-                            f"val/auc_{disease}": val_metrics[key],
-                        })
+                    if key in train_metrics:
+                        d_log = {f"train/auc_{disease}": train_metrics[key]}
+                        if val_metrics is not None and key in val_metrics:
+                            d_log[f"val/auc_{disease}"] = val_metrics[key]
+                        self._log(d_log)
 
                 w = np.asarray(get_loss_weights(
                     jax.device_get(self.state.params["criterion"])
                 ))
+                val_str = (
+                    f"Val Loss: {val_metrics['loss']:.4f}, "
+                    f"Val AUC: {val_metrics['mean_auc']:.4f}, "
+                    if val_metrics is not None else ""
+                )
                 logger.info(
                     f"Epoch {epoch + 1}/{tr.epochs} - "
                     f"Train Loss: {train_metrics['loss']:.4f}, "
                     f"Train AUC: {train_metrics['mean_auc']:.4f}, "
-                    f"Val Loss: {val_metrics['loss']:.4f}, "
-                    f"Val AUC: {val_metrics['mean_auc']:.4f}, "
+                    f"{val_str}"
                     f"{train_metrics['images_per_sec']:.0f} img/s, "
                     f"loss weights (wbce/focal/asl): "
                     f"{w[0]:.3f}/{w[1]:.3f}/{w[2]:.3f}"
                 )
 
-                if val_metrics["mean_auc"] > self.best_val_auc:
-                    self.best_val_auc = val_metrics["mean_auc"]
-                    self.best_epoch = epoch
-                    self.patience_counter = 0
-                    self.save_checkpoint(val_metrics, is_best=True)
-                else:
-                    self.patience_counter += 1
+                if val_metrics is not None:
+                    if val_metrics["mean_auc"] > self.best_val_auc:
+                        self.best_val_auc = val_metrics["mean_auc"]
+                        self.best_epoch = epoch
+                        self.patience_counter = 0
+                        self.save_checkpoint(val_metrics, is_best=True)
+                    else:
+                        self.patience_counter += 1
+                elif (epoch + 1) % max(1, tr.save_freq) == 0:
+                    self.save_checkpoint(train_metrics, is_best=False)
 
                 if self.patience_counter >= self.early_stop_patience:
                     logger.info("Early stopping triggered")

@@ -67,6 +67,14 @@ def test_dispatcher_dropout_falls_back_to_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
 
 
+def test_xla_impl_matches_reference():
+    q, k, v = _qkv(n=33)
+    scale = q.shape[-1] ** -0.5
+    ref = attention_reference(q, k, v, scale)
+    out = multi_head_attention(q, k, v, scale, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_jit_and_vmap_compatible():
     q, k, v = _qkv(n=19)
     f = jax.jit(lambda q, k, v: attention_pallas(q, k, v, 0.1))

@@ -121,6 +121,27 @@ def test_steps_per_call_equivalence(tmp_path):
     )
 
 
+def test_eval_freq_and_save_freq(tmp_path):
+    """eval_freq/save_freq are live here (the reference declares them in its
+    YAML but never wires them — SURVEY §2.5)."""
+    import dataclasses
+    import os
+
+    cfg, trainer = _setup(tmp_path, epochs=4)
+    trainer.config = dataclasses.replace(
+        cfg, training=dataclasses.replace(
+            cfg.training, eval_freq=2, save_freq=1, epochs=4
+        )
+    )
+    trainer.train()
+    # validated on epochs 2 and 4 only
+    assert len(trainer.val_metrics_history) == 2
+    assert len(trainer.train_metrics_history) == 4
+    # non-validated epochs saved periodic checkpoints
+    names = os.listdir(cfg.paths.save_dir)
+    assert sum(n.startswith("checkpoint_epoch_") for n in names) >= 2
+
+
 def test_preemption_saves_resume_checkpoint(tmp_path):
     """A latched SIGTERM makes train() checkpoint and exit cleanly instead of
     finishing all epochs (TPU-VM preemption path)."""
