@@ -177,13 +177,17 @@ class SyntheticChestXrayDataset:
                 self.labels[(c + 1) % half, c] = 0.0
         self.class_weights = class_weights_from_labels(self.labels)
         self.image_paths = np.asarray([f"synthetic_{i:06d}.png" for i in range(size)])
+        # pre-generate a small distinct-image pool; __getitem__ is then a
+        # memcpy like the packed real-data path, so synthetic throughput
+        # reflects device speed rather than host image synthesis
+        pool = min(size, 64)
+        prng = np.random.default_rng((seed + 1) * 1_000_003)
+        s = image_size
+        base = prng.integers(0, 256, (pool, s // 8, s // 8, 3), np.uint8)
+        self._images = np.repeat(np.repeat(base, 8, axis=1), 8, axis=2)
 
     def __len__(self):
         return self.size
 
     def __getitem__(self, idx: int):
-        rng = np.random.default_rng((self.seed + 1) * 1_000_003 + idx)
-        s = self.image_size
-        base = rng.integers(0, 256, (s // 8, s // 8, 3), np.uint8)
-        image = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)
-        return image, self.labels[idx]
+        return self._images[idx % len(self._images)], self.labels[idx]

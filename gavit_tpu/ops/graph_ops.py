@@ -162,9 +162,12 @@ def _graph_kernel(
             work = jnp.where(work >= kth, _NEG_INF, work)
         mask = no_self & (sim >= kth)
     elif mode == "threshold":
-        mask = (sim > threshold) & no_self
-        row_any = jnp.any(mask, axis=-1, keepdims=True)
-        mask = jnp.where(row_any, mask, eye & valid)
+        # float masks: Mosaic cannot lower bool reductions / bool selects
+        # ("unsupported target bitwidth for truncation")
+        edge = jnp.where((sim > threshold) & no_self, 1.0, 0.0)
+        row_any = jnp.sum(edge, axis=-1, keepdims=True) > 0.5
+        self_edge = jnp.where(eye & valid, 1.0, 0.0)
+        mask = jnp.where(row_any, edge, self_edge) > 0.5
     else:
         raise ValueError(f"unknown adjacency mode: {mode!r}")
 

@@ -99,6 +99,12 @@ class Predictor:
         images_u8 = np.asarray(images_u8, np.uint8)
         if images_u8.ndim == 3:
             images_u8 = images_u8[None]
+        s = self.config.data.image_size
+        if images_u8.shape[1:] != (s, s, 3):
+            raise ValueError(
+                f"expected images [N, {s}, {s}, 3] uint8, got "
+                f"{images_u8.shape} (resize on host before predicting)"
+            )
         n = images_u8.shape[0]
         top = self.buckets[-1]
         outs = []

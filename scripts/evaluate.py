@@ -129,14 +129,20 @@ def analyze_error_patterns(predictions, targets, disease_names):
 
 
 def measure_p50_latency(apply_fn, image_size, n_iters: int = 50) -> float:
-    """p50 single-image eval latency in ms (BASELINE.json tracked metric)."""
+    """p50 single-image eval latency in ms (BASELINE.json tracked metric).
+
+    Sync via scalar fetch — jax.block_until_ready does not actually block
+    through tunneled TPU backends (measured; see CLAUDE.md).
+    """
+    import jax.numpy as jnp
+
     x = np.zeros((1, image_size, image_size, 3), np.uint8)
     xd = jax.device_put(x)
-    jax.block_until_ready(apply_fn(xd))  # compile
+    _ = float(jnp.sum(apply_fn(xd)))  # compile + sync
     times = []
     for _ in range(n_iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(apply_fn(xd))
+        _ = float(jnp.sum(apply_fn(xd)))
         times.append((time.perf_counter() - t0) * 1000)
     return float(np.percentile(times, 50))
 
