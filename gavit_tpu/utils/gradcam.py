@@ -122,6 +122,70 @@ def attention_rollout(model, params, images, head_fusion: str = "mean"):
     return (maps - lo) / np.maximum(hi - lo, 1e-8), np.asarray(logits)
 
 
+def load_bbox_annotations(csv_path: str, min_boxes: int = 1,
+                          max_boxes: int | None = None) -> dict:
+    """Parse an NIH BBox-list CSV into {image_name: {bboxes, labels}}.
+
+    Counterpart of the reference's ground-truth box reader
+    (``/root/reference/src/utils/gradcam.py:417-439``): rows carry an image
+    name, a finding label and (x, y, w, h); images are filtered by their box
+    count. Column names are matched loosely (NIH ships ``Bbox [x`` etc.).
+    Boxes are returned as (x0, y0, x1, y1) in source-image coordinates.
+    """
+    import csv
+
+    def find_col(header, *cands):
+        for cand in cands:
+            for i, name in enumerate(header):
+                if cand.lower() in name.lower():
+                    return i
+        raise ValueError(f"none of {cands} found in CSV header {header}")
+
+    records: dict = {}
+    with open(csv_path) as f:
+        reader = csv.reader(f)
+        header = next(reader)
+        i_img = find_col(header, "image index", "image")
+        i_lab = find_col(header, "finding label", "label")
+        i_x = find_col(header, "bbox_x", "bbox [x", "x")
+        i_y = find_col(header, "bbox_y", "y")
+        i_w = find_col(header, "bbox_w", "w")
+        i_h = find_col(header, "bbox_h", "h")
+        for row in reader:
+            if not row or len(row) <= i_h:
+                continue
+            name = row[i_img]
+            x, y = float(row[i_x]), float(row[i_y])
+            w, h = float(row[i_w]), float(row[i_h])
+            rec = records.setdefault(name, {"bboxes": [], "labels": []})
+            rec["bboxes"].append((x, y, x + w, y + h))
+            rec["labels"].append(row[i_lab])
+
+    out = {}
+    for name, rec in records.items():
+        n = len(rec["bboxes"])
+        if n < min_boxes:
+            continue
+        if max_boxes is not None and n > max_boxes:
+            continue
+        out[name] = rec
+    return out
+
+
+def draw_bboxes(ax, bboxes, labels, scale: float = 1.0,
+                color: str = "lime"):
+    """Draw ground-truth boxes (source coordinates × scale) on an axis."""
+    import matplotlib.patches as patches
+
+    for (x0, y0, x1, y1), label in zip(bboxes, labels):
+        ax.add_patch(patches.Rectangle(
+            (x0 * scale, y0 * scale), (x1 - x0) * scale, (y1 - y0) * scale,
+            linewidth=1.5, edgecolor=color, facecolor="none",
+        ))
+        ax.text(x0 * scale, max(y0 * scale - 3, 0), label, fontsize=7,
+                color=color)
+
+
 def overlay_cam(image_u8: np.ndarray, cam: np.ndarray, alpha: float = 0.5):
     """Resize a CAM to the image and blend as a jet heatmap (host-side)."""
     import matplotlib.cm as cm
