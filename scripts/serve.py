@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Minimal production serving endpoint for the Graph-Augmented ViT.
+
+Stdlib-only HTTP server wrapping :class:`gavit_tpu.serving.Predictor`
+(bucketed batching, warmup-compiled shapes, device-resident weights):
+
+    python scripts/serve.py --config <yaml> --checkpoint <ckpt_dir> \
+        [--host 127.0.0.1] [--port 8476] [--precision bf16]
+
+Endpoints:
+  GET  /healthz        → {"status": "ok", "model": ...}
+  GET  /stats          → serve-lifetime latency percentiles
+  POST /predict        → body: PNG/JPEG bytes, or a JSON list-of-lists uint8
+                         image [S,S,3] / batch [N,S,S,3]
+                         response: {"probabilities": ..., "labels": ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import logging
+import os
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+if os.environ.get("GAVIT_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["GAVIT_PLATFORM"])
+
+import numpy as np
+
+import gavit_tpu
+
+gavit_tpu.setup_compilation_cache()
+
+logger = logging.getLogger("serve")
+
+
+def build_handler(predictor, image_size: int, model_desc: str):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):
+            logger.info("%s " + fmt, self.client_address[0], *args)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok", "model": model_desc,
+                                 "image_size": image_size})
+            elif self.path == "/stats":
+                self._send(200, predictor.latency_stats() or {"count": 0})
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "")
+                if ctype.startswith("application/json"):
+                    arr = np.asarray(json.loads(raw), np.uint8)
+                else:  # image bytes
+                    from PIL import Image
+
+                    with Image.open(io.BytesIO(raw)) as img:
+                        img = img.convert("RGB")
+                        if img.size != (image_size, image_size):
+                            img = img.resize((image_size, image_size),
+                                             Image.BILINEAR)
+                        arr = np.asarray(img, np.uint8)
+                probs = predictor.predict_proba(arr)
+                labels = predictor.predict_labels(arr)
+                self._send(200, {
+                    "probabilities": probs.round(5).tolist(),
+                    "labels": labels,
+                    "disease_names": predictor.disease_names,
+                })
+            except Exception as e:  # client-facing error surface
+                logger.exception("predict failed")
+                self._send(400, {"error": str(e)})
+
+    return Handler
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8476)
+    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--no-warmup", action="store_true")
+    args = p.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    from gavit_tpu.config import load_config
+    from gavit_tpu.serving import Predictor
+
+    config = load_config(args.config)
+    predictor = Predictor(config, args.checkpoint or None,
+                          precision=args.precision)
+    if not args.no_warmup:
+        predictor.warmup()
+
+    desc = f"{config.model.name}+graph{config.model.graph.num_blocks}" if (
+        config.model.graph.enabled) else config.model.name
+    server = ThreadingHTTPServer(
+        (args.host, args.port),
+        build_handler(predictor, config.data.image_size, desc),
+    )
+    logger.info(f"Serving {desc} on http://{args.host}:{args.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

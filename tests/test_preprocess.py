@@ -79,3 +79,23 @@ def test_train_preprocess_differs_per_rng():
     a = np.asarray(train_preprocess(jnp.asarray(u8), jax.random.key(0)))
     b = np.asarray(train_preprocess(jnp.asarray(u8), jax.random.key(1)))
     assert not np.allclose(a, b)
+
+
+def test_chestxray_transforms_factory_api():
+    """Reference-compatible ChestXrayTransforms factory surface."""
+    import jax
+
+    from gavit_tpu.data.transforms import ChestXrayTransforms
+
+    u8 = _images(b=2, s=16)
+    val_fn = ChestXrayTransforms.get_val_transforms({"data": {"image_size": 16}})
+    out = np.asarray(val_fn(u8))
+    np.testing.assert_allclose(out, np.asarray(val_preprocess(u8)), atol=1e-6)
+
+    train_fn = ChestXrayTransforms.get_train_transforms()
+    out_t = np.asarray(train_fn(u8, jax.random.key(0)))
+    assert out_t.shape == out.shape and np.isfinite(out_t).all()
+
+    simple_fn = ChestXrayTransforms.get_train_transforms_simple()
+    out_s = np.asarray(simple_fn(u8, jax.random.key(0)))
+    assert np.isfinite(out_s).all()
