@@ -112,6 +112,8 @@ class DataConfig:
     # additive: synthetic dataset for smoke tests / benchmarking without data
     synthetic: bool = False
     synthetic_size: int = 512
+    # learnable synthetic task (class-region blobs): end-to-end learning check
+    synthetic_learnable: bool = False
     prefetch: int = 2
     # RandomAffine in the train pipeline. Default False matches the transform
     # the reference *actually trains with* (scripts/train.py:29-47 — flip +

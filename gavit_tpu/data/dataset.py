@@ -159,10 +159,16 @@ class SyntheticChestXrayDataset:
 
     disease_names = DISEASE_NAMES
 
-    def __init__(self, size: int = 512, image_size: int = 224, seed: int = 0):
+    def __init__(self, size: int = 512, image_size: int = 224, seed: int = 0,
+                 learnable: bool = False):
+        """``learnable=True`` plants a bright blob in a class-specific image
+        region for every positive label, making the task solvable — an
+        end-to-end check that the full training stack actually learns
+        (AUC → ~1), not just that it runs."""
         self.size = size
         self.image_size = image_size
         self.seed = seed
+        self.learnable = learnable
         rng = np.random.default_rng(seed)
         # correlated multi-label targets with realistic (low) positive rates
         self.labels = (
@@ -180,11 +186,23 @@ class SyntheticChestXrayDataset:
         # pre-generate a small distinct-image pool; __getitem__ is then a
         # memcpy like the packed real-data path, so synthetic throughput
         # reflects device speed rather than host image synthesis
-        pool = min(size, 64)
+        pool = size if learnable else min(size, 64)
         prng = np.random.default_rng((seed + 1) * 1_000_003)
         s = image_size
-        base = prng.integers(0, 256, (pool, s // 8, s // 8, 3), np.uint8)
+        base = prng.integers(0, 128, (pool, s // 8, s // 8, 3), np.uint8)
         self._images = np.repeat(np.repeat(base, 8, axis=1), 8, axis=2)
+        if learnable:
+            # per-class signal: a bright horizontal stripe (class c → row
+            # band c of 14) drawn when label c is positive. Row bands are
+            # invariant to the train pipeline's horizontal flips.
+            band = max(s // NUM_CLASSES, 1)
+            for i in range(pool):
+                for c in np.nonzero(self.labels[i])[0]:
+                    y0 = int(c) * band
+                    self._images[i, y0:y0 + band] = np.minimum(
+                        self._images[i, y0:y0 + band].astype(np.int32) + 127,
+                        255,
+                    ).astype(np.uint8)
 
     def __len__(self):
         return self.size

@@ -71,11 +71,13 @@ def create_datasets(config, synthetic: bool):
     d = config.data
     if synthetic or d.synthetic:
         train = SyntheticChestXrayDataset(
-            size=d.synthetic_size, image_size=d.image_size, seed=config.training.seed
+            size=d.synthetic_size, image_size=d.image_size,
+            seed=config.training.seed, learnable=d.synthetic_learnable,
         )
         val = SyntheticChestXrayDataset(
             size=max(d.batch_size, d.synthetic_size // 8),
             image_size=d.image_size, seed=config.training.seed + 1,
+            learnable=d.synthetic_learnable,
         )
         return train, val
     def open_split(directory, labels):
