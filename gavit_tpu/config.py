@@ -230,6 +230,12 @@ class TrainingConfig:
     # chunk boundaries.
     steps_per_call: int = 1
     criterion_lr_scale: float = 0.1  # reference trainer.py:50 (0.1 x lr)
+    # torch AdamW (and the reference) decays EVERY parameter; setting this
+    # False masks LayerNorm scales/biases and the cls/pos embeddings from
+    # weight decay (common ViT practice)
+    weight_decay_all_params: bool = True
+    # log the global gradient norm each step (one extra scalar per step)
+    log_grad_norm: bool = False
     min_delta: float = 1e-4  # reference trainer.py:71
     log_every: int = 100  # reference trainer.py:141
     extra: dict = field(default_factory=dict)

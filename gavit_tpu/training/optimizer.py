@@ -30,6 +30,24 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
         tr.learning_rate * tr.criterion_lr_scale, warmup_steps, total_steps
     )
 
+    def decay_mask(params):
+        """True where weight decay applies. Default decays everything like
+        torch AdamW / the reference; weight_decay_all_params=False exempts
+        LayerNorm scales/biases, other biases, gates and embeddings."""
+        if tr.weight_decay_all_params:
+            return jax.tree.map(lambda _: True, params)
+
+        def mask_entry(path, leaf):
+            keys = [getattr(p, "key", str(p)) for p in path]
+            name = keys[-1] if keys else ""
+            if name in ("bias", "scale", "gate"):
+                return False
+            if any(k in ("cls_token", "pos_embed") for k in keys):
+                return False
+            return leaf.ndim >= 2
+
+        return jax.tree_util.tree_map_with_path(mask_entry, params)
+
     def adamw(schedule):
         return optax.adamw(
             learning_rate=schedule,
@@ -37,6 +55,7 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
             b2=op.beta2,
             eps=op.eps,
             weight_decay=tr.weight_decay,
+            mask=None if tr.weight_decay_all_params else decay_mask,
         )
 
     model_tx = adamw(sched_model)

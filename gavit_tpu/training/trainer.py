@@ -136,6 +136,7 @@ class Trainer:
 
     def _build_train_step(self, use_affine: bool):
         model, tx, pos_weight = self.model, self.tx, self.pos_weight
+        log_grad_norm = self.config.training.log_grad_norm
 
         def step_body(state: TrainState, rng, images, labels):
             step_rng = jax.random.fold_in(rng, state.step)
@@ -168,6 +169,8 @@ class Trainer:
                 step=state.step + 1, params=new_params, opt_state=new_opt_state
             )
             metrics = {"loss": loss, **comps}
+            if log_grad_norm:
+                metrics["grad_norm"] = optax.global_norm(grads["model"])
             preds = jax.nn.sigmoid(logits)
             return new_state, metrics, preds
 

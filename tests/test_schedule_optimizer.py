@@ -80,3 +80,62 @@ def test_grad_clip_applies_to_model_only():
     # both branches produce finite updates; the model grad was pre-clipped
     assert np.isfinite(np.asarray(updates["model"]["w"])).all()
     assert np.isfinite(float(updates["criterion"]["lambda_wbce"]))
+
+
+def test_weight_decay_mask_option():
+    """weight_decay_all_params=False exempts LN/bias/gate/embeddings."""
+    import numpy as np
+
+    cfg = from_dict({
+        "training": {"epochs": 1, "warmup_epochs": 0, "learning_rate": 0.0,
+                     "weight_decay": 0.1, "max_grad_norm": 0.0,
+                     "weight_decay_all_params": False},
+    })
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    params = {
+        "model": {
+            "norm": {"scale": jnp.ones((4,)), "bias": jnp.ones((4,))},
+            "head": {"kernel": jnp.ones((4, 2)), "bias": jnp.ones((2,))},
+            "cls_token": jnp.ones((1, 1, 4)),
+        },
+        "criterion": init_criterion_params(),
+    }
+    opt_state = tx.init(params)
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(zero_grads, opt_state, params)
+    # lr is 0 → any update comes only from decay; decay is masked off for
+    # everything except the 2D kernel... and lr=0 scales that away too, so
+    # instead check with lr>0 that masked params stay put
+    cfg2 = from_dict({
+        "training": {"epochs": 1, "warmup_epochs": 0, "learning_rate": 1.0,
+                     "weight_decay": 0.1, "max_grad_norm": 0.0,
+                     "weight_decay_all_params": False},
+    })
+    tx2 = make_optimizer(cfg2, steps_per_epoch=10)
+    opt_state2 = tx2.init(params)
+    updates2 = None
+    st = opt_state2
+    for _ in range(3):
+        updates2, st = tx2.update(zero_grads, st, params)
+    assert float(jnp.abs(updates2["model"]["norm"]["scale"]).max()) == 0.0
+    assert float(jnp.abs(updates2["model"]["head"]["bias"]).max()) == 0.0
+    assert float(jnp.abs(updates2["model"]["cls_token"]).max()) == 0.0
+    assert float(jnp.abs(updates2["model"]["head"]["kernel"]).max()) > 0.0
+
+
+def test_default_decays_everything_like_torch():
+    cfg = from_dict({
+        "training": {"epochs": 1, "warmup_epochs": 0, "learning_rate": 1.0,
+                     "weight_decay": 0.1, "max_grad_norm": 0.0},
+    })
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    params = {
+        "model": {"norm": {"scale": jnp.ones((4,))}},
+        "criterion": init_criterion_params(),
+    }
+    st = tx.init(params)
+    zero_grads = jax.tree.map(jnp.zeros_like, params)
+    updates = None
+    for _ in range(3):
+        updates, st = tx.update(zero_grads, st, params)
+    assert float(jnp.abs(updates["model"]["norm"]["scale"]).max()) > 0.0
