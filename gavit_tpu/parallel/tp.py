@@ -1,0 +1,54 @@
+"""Tensor-parallel partition specs for the ViT parameter tree.
+
+BASELINE.json requires only data parallelism; SURVEY §2.6 asks that the mesh
+abstraction keep TP "a config change". This module is that change: Megatron-
+style PartitionSpecs over the reserved ``model`` mesh axis —
+
+  * column-parallel: qkv and MLP fc1 kernels split on their OUTPUT features,
+  * row-parallel: attention proj and MLP fc2 kernels split on their INPUT
+    features (GSPMD inserts the partial-sum reduction),
+  * everything else (embeddings, LayerNorms, head, graph blocks, biases of
+    row-parallel layers) replicated.
+
+Placing parameters with these shardings under ``jit`` makes XLA's SPMD
+partitioner distribute the matmuls and insert the collectives — no manual
+``psum`` anywhere. The fused Pallas attention kernel is opaque to GSPMD, so
+TP runs use ``attn_impl='xla'`` (or 'reference'); the Pallas path is the
+DP-only fast path. Correctness (TP math == single-device math) is pinned by
+``tests/test_tensor_parallel.py`` on the virtual 8-device mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def model_param_specs(params) -> dict:
+    """PartitionSpec pytree for a VisionTransformer param tree."""
+
+    def spec_for(path, leaf):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        name = keys[-1] if keys else ""
+        joined = "/".join(keys)
+        if "attn" in keys and "qkv" in keys:
+            # column-parallel: [D, 3C] kernel, [3C] bias
+            return P(None, "model") if name == "kernel" else P("model")
+        if "attn" in keys and "proj" in keys and name == "kernel":
+            return P("model", None)  # row-parallel; bias stays replicated
+        if "mlp" in keys and "fc1" in keys:
+            return P(None, "model") if name == "kernel" else P("model")
+        if "mlp" in keys and "fc2" in keys and name == "kernel":
+            return P("model", None)
+        del joined, leaf
+        return P()  # replicated
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_model_params(params, mesh: Mesh):
+    """Place a param tree on the mesh with the TP partition specs."""
+    specs = model_param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
