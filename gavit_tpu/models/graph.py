@@ -27,7 +27,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gavit_tpu.config import GraphConfig
-from gavit_tpu.models.layers import LN_EPS, mm_precision, trunc_init
+from gavit_tpu.models.layers import (
+    LN_EPS,
+    FusedDropout,
+    mm_precision,
+    trunc_init,
+)
 from gavit_tpu.ops.graph_ops import (
     build_adjacency,
     fused_graph_aggregate,
@@ -97,7 +102,7 @@ class GraphBlock(nn.Module):
         msg = nn.Dense(
             self.dim, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init, name="proj"
         )(msg)
-        msg = nn.Dropout(self.drop)(msg, deterministic=deterministic)
+        msg = FusedDropout(self.drop)(msg, deterministic=deterministic)
 
         gate = self.param("gate", nn.initializers.zeros_init(), (), jnp.float32)
         t = t + gate.astype(t.dtype) * msg

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from gavit_tpu.ops.dropout import dropout_seed, fused_dropout
 from gavit_tpu.ops.attention import (
     attention_reference,
     fused_qkv_attention,
@@ -81,11 +82,26 @@ class Mlp(nn.Module):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init,
                      name="fc1")(x)
         x = jax.nn.gelu(x, approximate=False)
-        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = FusedDropout(self.drop)(x, deterministic=deterministic)
         x = nn.Dense(self.out_dim, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init,
                      name="fc2")(x)
-        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = FusedDropout(self.drop)(x, deterministic=deterministic)
         return x
+
+
+class FusedDropout(nn.Module):
+    """Dropout via the memory-free fused kernel (ops/dropout.py): hardware
+    PRNG in-kernel, mask regenerated in backward — replaces XLA's
+    uniform→compare→select three-pass pattern (≈16 ms/step at ViT-B b128)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        seed = dropout_seed(self.make_rng("dropout"))
+        return fused_dropout(x, seed, self.rate)
 
 
 def drop_path(x, rate: float, deterministic: bool, rng) -> jax.Array:
@@ -155,7 +171,7 @@ class Attention(nn.Module):
                 )
             out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = nn.Dense(c, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init, name="proj")(out)
-        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        out = FusedDropout(self.proj_drop)(out, deterministic=deterministic)
         if return_probs:
             return out, probs
         return out

@@ -22,6 +22,7 @@ from gavit_tpu.models.graph import GraphBlock
 from gavit_tpu.models.layers import (
     LN_EPS,
     Block,
+    FusedDropout,
     PatchEmbed,
     mm_precision,
     trunc_init,
@@ -82,7 +83,7 @@ class VisionTransformer(nn.Module):
         cls = jnp.broadcast_to(cls_token.astype(self.dtype), (b, 1, d))
         x = jnp.concatenate([cls, x], axis=1)
         x = x + pos_embed.astype(self.dtype)
-        x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
+        x = FusedDropout(cfg.drop_rate)(x, deterministic=deterministic)
 
         graph_sites = set(cfg.graph_insert_after())
         dpr = [

@@ -1,0 +1,88 @@
+"""Memory-free fused dropout (Pallas, hardware PRNG).
+
+XLA dropout materialises a uniform fp32 tensor, compares, and selects —
+three full passes over HBM per site (profiled ≈16 ms/step at ViT-B b128
+across the model's ~36 dropout sites, even with the rbg PRNG). This kernel
+does one read + one write: random bits come from the TPU's per-core PRNG
+(``pltpu.prng_random_bits``) seeded deterministically per (site, step,
+program), the keep-mask is a uint32 threshold compare in registers, and —
+flash-style — the backward pass regenerates the identical mask from the same
+seed instead of storing it, so the mask never exists in HBM at all.
+
+Determinism: seed = fold(base_seed, program_id); the same (rng, shape, rate)
+always produces the same mask, and fwd/bwd agree exactly (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _dropout_kernel(seed_ref, x_ref, o_ref, *, rate: float):
+    # distinct stream per grid program, deterministic in the seed
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[0]
+    bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
+    threshold = jnp.uint32(int(rate * 0xFFFFFFFF))
+    keep = bits >= threshold
+    scale = jnp.asarray(1.0 / (1.0 - rate), x.dtype)
+    o_ref[0] = jnp.where(keep, x * scale, 0).astype(o_ref.dtype)
+
+
+def _run(x, seed, rate):
+    if not _on_tpu():
+        # distribution-equivalent XLA fallback (the pallas interpreter's
+        # PRNG is a zero stub on CPU); same seed → same mask, fwd == bwd
+        keep = jax.random.bernoulli(
+            jax.random.PRNGKey(seed[0].astype(jnp.uint32)), 1.0 - rate,
+            x.shape,
+        )
+        return jnp.where(keep, x / jnp.asarray(1.0 - rate, x.dtype), 0)
+
+    b = x.shape[0]
+    block = (1,) + x.shape[1:]
+    idx = lambda i: (i,) + (0,) * (x.ndim - 1)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_dropout_kernel, rate=rate),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(block, idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(block, idx, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+    )(seed, x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_dropout(x, seed, rate: float):
+    """Dropout with in-kernel PRNG: x [B, ...], seed int32 [1], static rate."""
+    return _run(x, seed, rate)
+
+
+def _fd_fwd(x, seed, rate):
+    return _run(x, seed, rate), seed
+
+
+def _fd_bwd(rate, seed, g):
+    # regenerate the identical mask: dropout is linear in x, so
+    # dx = dropout(g) with the same seed
+    return _run(g, seed, rate), None
+
+
+fused_dropout.defvjp(_fd_fwd, _fd_bwd)
+
+
+def dropout_seed(rng) -> jax.Array:
+    """Derive an int32 kernel seed from a JAX PRNG key (cheap scalar)."""
+    return jax.random.randint(rng, (1,), minval=0, maxval=2**31 - 1,
+                              dtype=jnp.int32)

@@ -1,0 +1,54 @@
+"""Fused dropout: distribution, determinism, fwd/bwd mask consistency.
+
+On CPU these exercise the XLA fallback (the pallas interpreter's PRNG is a
+zero stub); the hardware-PRNG kernel path is validated on TPU by the perf
+probes (keep-fraction recorded in BASELINE.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gavit_tpu.ops.dropout import dropout_seed, fused_dropout
+
+
+def test_keep_fraction_and_scale():
+    x = jnp.ones((8, 64, 64))
+    seed = dropout_seed(jax.random.key(0))
+    y = np.asarray(fused_dropout(x, seed, 0.25))
+    keep = (y != 0).mean()
+    assert 0.70 < keep < 0.80
+    np.testing.assert_allclose(y[y != 0], 1 / 0.75, rtol=1e-5)
+    # expectation preserved
+    assert abs(y.mean() - 1.0) < 0.02
+
+
+def test_deterministic_per_seed():
+    x = jnp.ones((4, 32, 32))
+    s1 = dropout_seed(jax.random.key(1))
+    s2 = dropout_seed(jax.random.key(2))
+    a = np.asarray(fused_dropout(x, s1, 0.5))
+    b = np.asarray(fused_dropout(x, s1, 0.5))
+    c = np.asarray(fused_dropout(x, s2, 0.5))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_backward_uses_same_mask():
+    """The gradient mask must equal the forward mask (regenerated, not
+    stored) — otherwise training silently corrupts."""
+    x = jnp.ones((4, 16, 32))
+    seed = dropout_seed(jax.random.key(3))
+    y = np.asarray(fused_dropout(x, seed, 0.4))
+    g = np.asarray(jax.grad(
+        lambda x: jnp.sum(fused_dropout(x, seed, 0.4))
+    )(x))
+    np.testing.assert_array_equal(y != 0, g != 0)
+    np.testing.assert_allclose(g[g != 0], 1 / 0.6, rtol=1e-5)
+
+
+def test_jit_and_bf16():
+    x = jnp.ones((2, 16, 16), jnp.bfloat16)
+    seed = dropout_seed(jax.random.key(4))
+    y = jax.jit(lambda x, s: fused_dropout(x, s, 0.1))(x, seed)
+    assert y.dtype == jnp.bfloat16
