@@ -115,6 +115,37 @@ def drop_path(x, rate: float, deterministic: bool, rng) -> jax.Array:
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
+class HeadMergeProj(nn.Module):
+    """Attention output projection that consumes [B, H, N, d] directly.
+
+    Param layout is identical to a Dense over the merged heads
+    (kernel [H·d, C], bias [C] — torch-converter compatible); the einsum
+    contracts (h, d) so no [B,H,N,d]→[B,N,C] relayout is materialised.
+    """
+
+    features: int
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, out4):
+        kernel = self.param(
+            "kernel", trunc_init,
+            (self.heads * self.head_dim, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            jnp.float32,
+        )
+        w = kernel.reshape(self.heads, self.head_dim, self.features)
+        y = jnp.einsum(
+            "bhnd,hdc->bnc", out4, w.astype(self.dtype),
+            precision=mm_precision(self.dtype),
+        )
+        return y + bias.astype(self.dtype)
+
+
 class Attention(nn.Module):
     """Fused-QKV multi-head self-attention (``vit.py:39-72``).
 
@@ -143,11 +174,19 @@ class Attention(nn.Module):
 
         use_dropout = self.attn_drop > 0.0 and not deterministic
         if self.impl in ("auto", "pallas") and not use_dropout and not return_probs:
-            # packed-QKV fused kernel: consumes the projection's natural
-            # layout — no head transposes, no padding (see ops/attention.py)
-            out = fused_qkv_attention(qkv, hd ** -0.5)
-            out = out.reshape(b, n, c)
-            probs = None
+            # packed-QKV fused kernel (ops/attention.py) returning [B,H,N,d];
+            # HeadMergeProj contracts (h, d) directly in its GEMM, so the
+            # head merge needs no relayout (profiled: the output transpose
+            # cost ~0.4 ms/block)
+            out4 = fused_qkv_attention(qkv, hd ** -0.5, merge_heads=False)
+            out = HeadMergeProj(
+                features=c, heads=h, head_dim=hd, dtype=self.dtype,
+                name="proj",
+            )(out4)
+            out = FusedDropout(self.proj_drop)(out, deterministic=deterministic)
+            if return_probs:
+                return out, None
+            return out
         else:
             q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # [B, H, N, hd]
             k = qkv[:, :, 1].transpose(0, 2, 1, 3)

@@ -520,16 +520,20 @@ def _fqkv5_bwd(scale, qkv5, g):
 _fused_qkv5.defvjp(_fqkv5_fwd, _fqkv5_bwd)
 
 
-def fused_qkv_attention(qkv, scale):
-    """MHSA on the packed projection: [B, N, 3, H, d] → [B, N, H, d].
+def fused_qkv_attention(qkv, scale, merge_heads: bool = True):
+    """MHSA on the packed projection: [B, N, 3, H, d] → [B, N, H, d]
+    (or raw [B, H, N, d] with ``merge_heads=False`` — the caller's output
+    projection can contract (h, d) directly and skip the relayout).
 
-    One fused transpose in ([B,N,3,H,d]→[B,3,H,N,d]) and one out — cheaper
-    than per-plane slice+transpose (profiled: the three Q/K/V slice
-    relayouts cost ≈2 ms/block at ViT-B b128).
+    One fused transpose in ([B,N,3,H,d]→[B,3,H,N,d]) — cheaper than
+    per-plane slice+transpose (profiled: the three Q/K/V slice relayouts
+    cost ≈2 ms/block at ViT-B b128).
     """
     qkv5 = qkv.transpose(0, 2, 3, 1, 4)  # [B, 3, H, N, d]
     out = _fused_qkv5(qkv5, scale)  # [B, H, N, d]
-    return out.transpose(0, 2, 1, 3)
+    if merge_heads:
+        return out.transpose(0, 2, 1, 3)
+    return out
 
 
 # ---------------------------------------------------------------------------
