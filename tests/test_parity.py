@@ -105,3 +105,47 @@ def test_pos_embed_interpolation():
     np.testing.assert_allclose(out[:, 0], pe[:, 0])  # CLS untouched
     with pytest.raises(ValueError):
         interpolate_pos_embed(pe, 17)  # non-square target
+
+
+def test_load_mae_weights_end_to_end(tmp_path):
+    """MAE-style .pth loading: backbone adopted, head kept fresh, pos-embed
+    interpolated across grid sizes (reference vit.py:182-200 +
+    gradcam.py:457-464 semantics)."""
+    torch.manual_seed(3)
+    tmodel = TorchRefViT(img_size=64, patch_size=16, embed_dim=96, depth=2,
+                         num_heads=3).eval()
+    sd = reference_state_dict(tmodel)
+    path = tmp_path / "mae.pth"
+    torch.save({"model": sd}, path)
+
+    from gavit_tpu.utils.torch_convert import load_mae_weights
+
+    cfg = from_dict({"model": {
+        "name": "custom", "img_size": 64, "patch_size": 16, "embed_dim": 96,
+        "depth": 2, "num_heads": 3, "num_classes": 14, "drop_rate": 0.0,
+    }})
+    model = build_model(cfg.model, precision="fp32")
+    fresh = init_params(model, jax.random.key(7))
+    head_before = np.asarray(fresh["head"]["kernel"]).copy()
+    loaded = load_mae_weights(fresh, str(path), depth=2)
+    # backbone adopted
+    np.testing.assert_allclose(
+        np.asarray(loaded["blocks_0"]["mlp"]["fc1"]["kernel"]),
+        sd["blocks.0.mlp.fc1.weight"].numpy().T, atol=1e-6)
+    # head untouched (reference filters 'head' keys)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["head"]["kernel"]), head_before)
+
+    # grid-size mismatch: 64px ckpt -> 128px model interpolates pos_embed
+    cfg128 = from_dict({"model": {
+        "name": "custom", "img_size": 128, "patch_size": 16, "embed_dim": 96,
+        "depth": 2, "num_heads": 3, "num_classes": 14,
+    }})
+    model128 = build_model(cfg128.model, precision="fp32")
+    fresh128 = init_params(model128, jax.random.key(8))
+    loaded128 = load_mae_weights(fresh128, str(path), depth=2)
+    assert loaded128["pos_embed"].shape == (1, 65, 96)  # 8x8 grid + CLS
+    logits = model128.apply(
+        {"params": loaded128},
+        jnp.zeros((1, 128, 128, 3)), deterministic=True)
+    assert np.isfinite(np.asarray(logits)).all()
