@@ -27,12 +27,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gavit_tpu.config import GraphConfig
-from gavit_tpu.models.layers import (
-    LN_EPS,
-    FusedDropout,
-    mm_precision,
-    trunc_init,
-)
+from gavit_tpu.models.layers import LN_EPS, FusedDropout, QDense
 from gavit_tpu.ops.graph_ops import (
     build_adjacency,
     fused_graph_aggregate,
@@ -49,6 +44,7 @@ class GraphBlock(nn.Module):
     # 'auto' → fused pallas kernel whenever adjacency is built in-block;
     # 'reference' → always the XLA einsum path
     impl: str = "auto"
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, adj=None, deterministic: bool = True):
@@ -71,8 +67,8 @@ class GraphBlock(nn.Module):
 
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(t)
         h = h.astype(self.dtype)
-        values = nn.Dense(
-            self.dim, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init, name="value"
+        values = QDense(
+            self.dim, dtype=self.dtype, quant=self.quant, name="value"
         )(h)
 
         adj_out = adj
@@ -99,8 +95,8 @@ class GraphBlock(nn.Module):
                 h, values, g.adjacency, g.k, g.threshold, g.temperature
             )
 
-        msg = nn.Dense(
-            self.dim, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init, name="proj"
+        msg = QDense(
+            self.dim, dtype=self.dtype, quant=self.quant, name="proj"
         )(msg)
         msg = FusedDropout(self.drop)(msg, deterministic=deterministic)
 

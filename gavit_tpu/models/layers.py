@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gavit_tpu.ops.dropout import dropout_seed, fused_dropout
+from gavit_tpu.ops.quant import int8_matmul
 from gavit_tpu.ops.attention import (
     attention_reference,
     fused_qkv_attention,
@@ -40,12 +41,49 @@ def mm_precision(dtype):
     return jax.lax.Precision.DEFAULT
 
 
+class QDense(nn.Module):
+    """Dense with an optional int8 dynamic-quantised path (serving PTQ).
+
+    Param layout is identical to nn.Dense (kernel [K, F], bias [F]) so
+    checkpoints and the torch converter are unaffected; ``quant=True`` routes
+    the GEMM through the int8 MXU (ops/quant.py)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    quant: bool = False
+    kernel_init: object = trunc_init
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(),
+                       (self.features,), jnp.float32)
+            if self.use_bias else None
+        )
+        if self.quant:
+            y = int8_matmul(x, kernel).astype(self.dtype)
+        else:
+            y = jnp.dot(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                precision=mm_precision(self.dtype),
+            )
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class PatchEmbed(nn.Module):
     """Image → patch tokens: [B, H, W, C] → [B, N, D] (NHWC, TPU-native)."""
 
     patch_size: int
     embed_dim: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -58,12 +96,11 @@ class PatchEmbed(nn.Module):
         # (c, ph, pw) ordering inside each patch vector — matches the
         # flattening of a torch Conv2d weight [D, C, kh, kw]
         x = x.transpose(0, 1, 3, 5, 2, 4).reshape(b, gh * gw, c * p * p)
-        x = nn.Dense(
+        x = QDense(
             self.embed_dim,
             dtype=self.dtype,
-            precision=mm_precision(self.dtype),
+            quant=self.quant,
             kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros_init(),
             name="proj",
         )(x)
         return x
@@ -76,15 +113,16 @@ class Mlp(nn.Module):
     out_dim: int
     drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init,
-                     name="fc1")(x)
+        x = QDense(self.hidden_dim, dtype=self.dtype, quant=self.quant,
+                   name="fc1")(x)
         x = jax.nn.gelu(x, approximate=False)
         x = FusedDropout(self.drop)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init,
-                     name="fc2")(x)
+        x = QDense(self.out_dim, dtype=self.dtype, quant=self.quant,
+                   name="fc2")(x)
         x = FusedDropout(self.drop)(x, deterministic=deterministic)
         return x
 
@@ -127,6 +165,7 @@ class HeadMergeProj(nn.Module):
     heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, out4):
@@ -138,6 +177,11 @@ class HeadMergeProj(nn.Module):
             "bias", nn.initializers.zeros_init(), (self.features,),
             jnp.float32,
         )
+        if self.quant:
+            b, h, n, d = out4.shape
+            merged = out4.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+            y = int8_matmul(merged, kernel).astype(self.dtype)
+            return y + bias.astype(self.dtype)
         w = kernel.reshape(self.heads, self.head_dim, self.features)
         y = jnp.einsum(
             "bhnd,hdc->bnc", out4, w.astype(self.dtype),
@@ -160,15 +204,16 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     impl: str = "auto"
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, return_probs: bool = False):
         b, n, c = x.shape
         h = self.num_heads
         hd = c // h
-        qkv = nn.Dense(
+        qkv = QDense(
             3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-            precision=mm_precision(self.dtype), kernel_init=trunc_init, name="qkv",
+            quant=self.quant, name="qkv",
         )(x)
         qkv = qkv.reshape(b, n, 3, h, hd)
 
@@ -181,7 +226,7 @@ class Attention(nn.Module):
             out4 = fused_qkv_attention(qkv, hd ** -0.5, merge_heads=False)
             out = HeadMergeProj(
                 features=c, heads=h, head_dim=hd, dtype=self.dtype,
-                name="proj",
+                quant=self.quant, name="proj",
             )(out4)
             out = FusedDropout(self.proj_drop)(out, deterministic=deterministic)
             if return_probs:
@@ -209,7 +254,7 @@ class Attention(nn.Module):
                     dropout_rng=dropout_rng,
                 )
             out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
-        out = nn.Dense(c, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init, name="proj")(out)
+        out = QDense(c, dtype=self.dtype, quant=self.quant, name="proj")(out)
         out = FusedDropout(self.proj_drop)(out, deterministic=deterministic)
         if return_probs:
             return out, probs
@@ -228,6 +273,7 @@ class Block(nn.Module):
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, return_probs: bool = False):
@@ -242,7 +288,7 @@ class Block(nn.Module):
         attn_out = Attention(
             dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
-            impl=self.attn_impl, name="attn",
+            impl=self.attn_impl, quant=self.quant, name="attn",
         )(h.astype(self.dtype), deterministic, return_probs=return_probs)
         probs = None
         if return_probs:
@@ -252,7 +298,7 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
         h = Mlp(
             hidden_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
-            drop=self.drop, dtype=self.dtype, name="mlp",
+            drop=self.drop, dtype=self.dtype, quant=self.quant, name="mlp",
         )(h.astype(self.dtype), deterministic)
         x = x + maybe_drop_path(h)
         if return_probs:

@@ -24,8 +24,7 @@ from gavit_tpu.models.layers import (
     Block,
     FusedDropout,
     PatchEmbed,
-    mm_precision,
-    trunc_init,
+    QDense,
 )
 
 
@@ -41,6 +40,8 @@ class VisionTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     graph_impl: str = "auto"
+    # int8 dynamic-quantised GEMMs (serving PTQ; 2x MXU peak on v5e)
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -68,7 +69,7 @@ class VisionTransformer(nn.Module):
 
         x = PatchEmbed(
             patch_size=cfg.patch_size, embed_dim=d, dtype=self.dtype,
-            name="patch_embed",
+            quant=self.quant, name="patch_embed",
         )(x.astype(self.dtype))
         n = x.shape[1]
 
@@ -102,7 +103,8 @@ class VisionTransformer(nn.Module):
                 dim=d, num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
                 qkv_bias=cfg.qkv_bias, drop=cfg.drop_rate,
                 attn_drop=cfg.attn_drop_rate, drop_path_rate=dpr[i],
-                dtype=self.dtype, attn_impl=self.attn_impl, name=f"blocks_{i}",
+                dtype=self.dtype, attn_impl=self.attn_impl,
+                quant=self.quant, name=f"blocks_{i}",
             )(x, deterministic, return_probs=(capture == "attention"))
             if capture == "attention":
                 x, probs = x
@@ -114,7 +116,8 @@ class VisionTransformer(nn.Module):
             if i in graph_sites:
                 x, new_adj = GraphBlock(
                     dim=d, cfg=cfg.graph, num_patches=n, drop=cfg.drop_rate,
-                    dtype=self.dtype, impl=self.graph_impl, name=f"graph_{g_idx}",
+                    dtype=self.dtype, impl=self.graph_impl,
+                    quant=self.quant, name=f"graph_{g_idx}",
                 )(x, adj=adj if not cfg.graph.dynamic else None,
                   deterministic=deterministic)
                 if not cfg.graph.dynamic and adj is None:
@@ -124,8 +127,8 @@ class VisionTransformer(nn.Module):
         x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
         feats = x.astype(self.dtype)
         cls_out = feats[:, 0]
-        logits = nn.Dense(
-            cfg.num_classes, dtype=self.dtype, precision=mm_precision(self.dtype), kernel_init=trunc_init, name="head"
+        logits = QDense(
+            cfg.num_classes, dtype=self.dtype, quant=self.quant, name="head"
         )(cls_out)
         logits = logits.astype(jnp.float32)
 
@@ -136,9 +139,12 @@ class VisionTransformer(nn.Module):
 
 def build_model(cfg: ModelConfig, *, precision: str = "fp32",
                 attn_impl: str = "auto", graph_impl: str = "auto"):
-    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    """precision: 'fp32' (parity eval) | 'bf16' (training/serving) |
+    'int8' (PTQ serving: int8 GEMMs, bf16 elsewhere)."""
+    dtype = jnp.float32 if precision == "fp32" else jnp.bfloat16
     return VisionTransformer(
-        cfg=cfg, dtype=dtype, attn_impl=attn_impl, graph_impl=graph_impl
+        cfg=cfg, dtype=dtype, attn_impl=attn_impl, graph_impl=graph_impl,
+        quant=(precision == "int8"),
     )
 
 
