@@ -64,6 +64,9 @@ def parse_args():
                         "('auto' = latest in save_dir)")
     p.add_argument("--synthetic", action="store_true",
                    help="Train on the synthetic dataset (no image files needed)")
+    p.add_argument("--profile", type=str, default="",
+                   help="Capture a profiler trace of the first training epoch "
+                        "into this directory (Perfetto/XProf compatible)")
     return p.parse_args()
 
 
@@ -145,6 +148,16 @@ def main():
                 trainer.restore_checkpoint(resume_path)
             else:
                 logger.error(f"No checkpoint found at {resume_path}")
+
+        if args.profile:
+            from gavit_tpu.utils.profiling import trace
+
+            logger.info(f"Profiling the first epoch into {args.profile}")
+            with trace(args.profile):
+                first_metrics = trainer.train_epoch()
+            trainer.train_metrics_history.append(first_metrics)
+            trainer.current_epoch += 1
+            trainer.start_epoch = trainer.current_epoch
 
         final_metrics = trainer.train()
         logger.info("Training completed. Final metrics:")
