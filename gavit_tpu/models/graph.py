@@ -69,7 +69,7 @@ class GraphBlock(nn.Module):
         h = h.astype(self.dtype)
         values = QDense(
             self.dim, dtype=self.dtype, quant=self.quant, name="value"
-        )(h)
+        )(h, fuse_bias_grad=not deterministic)
 
         adj_out = adj
         if g.adjacency == "learned_static":
@@ -97,7 +97,7 @@ class GraphBlock(nn.Module):
 
         msg = QDense(
             self.dim, dtype=self.dtype, quant=self.quant, name="proj"
-        )(msg)
+        )(msg, fuse_bias_grad=not deterministic)
         msg = FusedDropout(self.drop)(msg, deterministic=deterministic)
 
         gate = self.param("gate", nn.initializers.zeros_init(), (), jnp.float32)

@@ -1,0 +1,90 @@
+"""HTTP serving endpoint: health, JSON predict, PNG predict, error surface."""
+
+import io
+import json
+import sys
+import threading
+import urllib.error
+import urllib.request
+from http.server import ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from gavit_tpu.config import from_dict
+from gavit_tpu.serving import Predictor
+from scripts.serve import build_handler
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = from_dict({"model": {
+        "name": "custom", "img_size": 16, "patch_size": 8, "embed_dim": 32,
+        "depth": 1, "num_heads": 2, "num_classes": 14,
+    }, "data": {"image_size": 16}})
+    predictor = Predictor(cfg, buckets=(1, 4))
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), build_handler(predictor, 16, "test-model")
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    return json.loads(urllib.request.urlopen(url, timeout=120).read())
+
+
+def _post(url, data, ctype):
+    req = urllib.request.Request(url, data=data,
+                                 headers={"Content-Type": ctype})
+    return json.loads(urllib.request.urlopen(req, timeout=300).read())
+
+
+def test_healthz(server):
+    r = _get(server + "/healthz")
+    assert r["status"] == "ok" and r["image_size"] == 16
+
+
+def test_json_predict(server):
+    arr = np.random.default_rng(0).integers(0, 255, (2, 16, 16, 3)).tolist()
+    r = _post(server + "/predict", json.dumps(arr).encode(),
+              "application/json")
+    assert len(r["probabilities"]) == 2
+    assert len(r["probabilities"][0]) == 14
+    assert len(r["disease_names"]) == 14
+
+
+def test_png_predict_with_resize(server):
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.default_rng(1).integers(0, 255, (64, 64), np.uint8),
+        mode="L",
+    ).save(buf, format="PNG")
+    r = _post(server + "/predict", buf.getvalue(), "image/png")
+    assert len(r["probabilities"]) == 1
+    assert isinstance(r["labels"][0], list)
+
+
+def test_garbage_body_returns_400(server):
+    req = urllib.request.Request(server + "/predict", data=b"not an image",
+                                 headers={"Content-Type": "image/png"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400
+
+
+def test_unknown_path_404(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(server + "/nope", timeout=60)
+    assert e.value.code == 404
+
+
+def test_stats_after_traffic(server):
+    r = _get(server + "/stats")
+    assert r.get("count", 0) >= 1
