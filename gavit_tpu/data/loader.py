@@ -91,15 +91,22 @@ class DataLoader:
 
 
 def device_iterator(loader, mesh=None, prefetch: int = 2):
-    """Wrap a host loader: place batches on the mesh ahead of consumption."""
-    from gavit_tpu.parallel.mesh import shard_batch
+    """Wrap a host loader: place batches on the mesh ahead of consumption.
+
+    Yields ``(images, labels, n_real)``. Ragged tail batches (drop_last=False
+    loaders on a multi-device mesh) are wrap-padded up to the data-axis size;
+    ``n_real`` is the number of genuine rows — consumers slice model outputs
+    back to it before accumulating metrics.
+    """
+    from gavit_tpu.parallel.mesh import shard_batch_padded
 
     import jax
 
     def place(batch):
         if mesh is not None:
-            return shard_batch(mesh, batch)
-        return jax.device_put(batch)
+            placed, n_real = shard_batch_padded(mesh, batch)
+            return (*placed, n_real)
+        return (*jax.device_put(batch), batch[0].shape[0])
 
     queue = collections.deque()
     it = iter(loader)

@@ -57,6 +57,10 @@ def shard_batch(mesh: Mesh, batch):
 
     Single-process: a plain device_put with a NamedSharding. Multi-host: each
     process contributes its local shard of the global batch.
+
+    The leading dimension must be divisible by the data-axis size; use
+    :func:`shard_batch_padded` for loaders with ragged tail batches
+    (``drop_last=False``).
     """
     sharding = batch_sharding(mesh)
     if jax.process_count() == 1:
@@ -65,3 +69,31 @@ def shard_batch(mesh: Mesh, batch):
         lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
         batch,
     )
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    return mesh.shape.get("data", 1)
+
+
+def pad_batch(batch, multiple: int):
+    """Wrap-pad every leaf's leading dim up to a multiple of ``multiple``.
+
+    Pad rows repeat real samples (index i % n), so every padded row is a
+    valid input; callers slice outputs back to ``n_real`` before metric /
+    loss accumulation. Returns ``(padded_batch, n_real)``.
+    """
+    leaves = jax.tree.leaves(batch)
+    n = leaves[0].shape[0]
+    target = -(-n // multiple) * multiple
+    if target == n:
+        return batch, n
+    idx = np.arange(target) % n
+    return jax.tree.map(lambda x: np.asarray(x)[idx], batch), n
+
+
+def shard_batch_padded(mesh: Mesh, batch):
+    """:func:`shard_batch` tolerant of ragged tail batches: wrap-pads the
+    leading dim to the data-axis size first. Returns
+    ``(sharded_batch, n_real)``."""
+    batch, n_real = pad_batch(batch, data_axis_size(mesh))
+    return shard_batch(mesh, batch), n_real

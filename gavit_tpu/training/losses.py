@@ -61,18 +61,25 @@ def bce_with_logits(logits, targets, pos_weight=None):
     return pos_term + neg_term
 
 
-def dynamic_weighted_loss(criterion_params, logits, targets, pos_weight=None):
+def dynamic_weighted_loss(criterion_params, logits, targets, pos_weight=None,
+                          *, per_example: bool = False):
     """Returns (total_loss, {'wbce','focal','asl'}) — reference
-    ``losses.py:26-68``."""
+    ``losses.py:26-68``.
+
+    With ``per_example=True`` all values are [B] vectors (mean over the class
+    axis only); the batch mean of those vectors equals the scalar form, and
+    callers with wrap-padded tail batches can mask pad rows exactly.
+    """
     x = logits.astype(jnp.float32)
     t = targets.astype(jnp.float32)
     w = get_loss_weights(criterion_params)
+    axis = -1 if per_example else None
 
-    wbce = jnp.mean(bce_with_logits(x, t, pos_weight))
+    wbce = jnp.mean(bce_with_logits(x, t, pos_weight), axis=axis)
 
     bce = bce_with_logits(x, t)
     pt = jnp.exp(-bce)
-    focal = jnp.mean((1.0 - pt) ** FOCAL_GAMMA * bce)
+    focal = jnp.mean((1.0 - pt) ** FOCAL_GAMMA * bce, axis=axis)
 
     xs_pos = jax.nn.sigmoid(x)
     xs_neg = 1.0 - xs_pos
@@ -82,7 +89,7 @@ def dynamic_weighted_loss(criterion_params, logits, targets, pos_weight=None):
     los_neg = (1.0 - t) * jnp.log(jnp.clip(xs_neg, min=ASL_CLIP)) * (
         xs_pos ** ASL_GAMMA_NEG
     )
-    asl = -jnp.mean(los_pos + los_neg)
+    asl = -jnp.mean(los_pos + los_neg, axis=axis)
 
     total = w[0] * wbce + w[1] * focal + w[2] * asl
     comps = {

@@ -205,10 +205,14 @@ class Trainer:
             logits = model.apply(
                 {"params": params["model"]}, x, deterministic=True
             )
-            loss, _ = dynamic_weighted_loss(
-                params["criterion"], logits, labels, pos_weight
+            # per-example losses: tail batches are wrap-padded for the mesh,
+            # so the host averages over genuine rows only (this also weights
+            # every sample equally instead of every batch equally)
+            loss_vec, _ = dynamic_weighted_loss(
+                params["criterion"], logits, labels, pos_weight,
+                per_example=True,
             )
-            return jax.nn.sigmoid(logits), loss
+            return jax.nn.sigmoid(logits), loss_vec
 
         return eval_step
 
@@ -221,16 +225,26 @@ class Trainer:
             self.wandb.log(data)
 
     def _chunked_batches(self):
-        """Yield (is_stacked, images, labels): K host batches stacked into one
-        [K, B, ...] device transfer when steps_per_call > 1."""
-        from gavit_tpu.parallel.mesh import shard_batch, stacked_batch_sharding
+        """Yield (is_stacked, images, labels, n_real): K host batches stacked
+        into one [K, B, ...] device transfer when steps_per_call > 1. Ragged
+        tail batches are wrap-padded to the mesh's data-axis size (n_real is
+        the genuine row count; padded rows repeat real samples, so the extra
+        gradient contribution is bounded and outputs are sliced back before
+        metric accumulation)."""
+        from gavit_tpu.parallel.mesh import (
+            shard_batch_padded,
+            stacked_batch_sharding,
+        )
 
         k = max(1, self.config.training.steps_per_call)
         if k == 1:
-            for batch in device_iterator(
-                self.train_loader, self.mesh, prefetch=self.config.data.prefetch
-            ):
-                yield False, batch[0], batch[1]
+            yield from (
+                (False, *batch)
+                for batch in device_iterator(
+                    self.train_loader, self.mesh,
+                    prefetch=self.config.data.prefetch,
+                )
+            )
             return
 
         stacked_sh = stacked_batch_sharding(self.mesh)
@@ -245,17 +259,20 @@ class Trainer:
             else:  # ragged tail batch — flush buffer, emit singly
                 if buf_im:
                     for im, lb in zip(buf_im, buf_lb):
-                        yield False, *shard_batch(self.mesh, (im, lb))
+                        placed, n = shard_batch_padded(self.mesh, (im, lb))
+                        yield False, *placed, n
                     buf_im, buf_lb = [], []
-                yield False, *shard_batch(self.mesh, (images, labels))
+                placed, n = shard_batch_padded(self.mesh, (images, labels))
+                yield False, *placed, n
                 continue
             if len(buf_im) == k:
                 yield True, jax.device_put(
                     np.stack(buf_im), stacked_sh
-                ), jax.device_put(np.stack(buf_lb), stacked_sh)
+                ), jax.device_put(np.stack(buf_lb), stacked_sh), k * bs
                 buf_im, buf_lb = [], []
         for im, lb in zip(buf_im, buf_lb):
-            yield False, *shard_batch(self.mesh, (im, lb))
+            placed, n = shard_batch_padded(self.mesh, (im, lb))
+            yield False, *placed, n
 
     def train_epoch(self) -> dict:
         tr = self.config.training
@@ -265,7 +282,7 @@ class Trainer:
 
         self.train_loader.set_epoch(self.current_epoch)
         step_in_epoch = 0
-        for is_stacked, images, labels in self._chunked_batches():
+        for is_stacked, images, labels, n_real in self._chunked_batches():
             if is_stacked:
                 self.state, metrics, preds = self._train_multi(
                     self.state, self.base_rng, images, labels
@@ -280,10 +297,10 @@ class Trainer:
                 self.state, metrics, preds = self._train_step(
                     self.state, self.base_rng, images, labels
                 )
-                preds_acc.append(preds)
-                targets_acc.append(labels)
+                preds_acc.append(preds[:n_real])
+                targets_acc.append(labels[:n_real])
                 metric_acc.append(metrics)
-                n_images += preds.shape[0]
+                n_images += n_real
                 steps_done = 1
 
             if self._preemption is not None and self._preemption.preempted:
@@ -323,17 +340,19 @@ class Trainer:
 
     def validate(self) -> dict:
         preds_acc, targets_acc, losses = [], [], []
-        for images, labels in device_iterator(
+        for images, labels, n_real in device_iterator(
             self.val_loader, self.mesh, prefetch=self.config.data.prefetch
         ):
-            preds, loss = self._eval_step(self.state.params, images, labels)
-            preds_acc.append(preds)
-            targets_acc.append(labels)
-            losses.append(loss)
+            preds, loss_vec = self._eval_step(self.state.params, images, labels)
+            preds_acc.append(preds[:n_real])
+            targets_acc.append(labels[:n_real])
+            losses.append(loss_vec[:n_real])
         predictions = np.vstack([np.asarray(p) for p in jax.device_get(preds_acc)])
         targets = np.vstack([np.asarray(t) for t in jax.device_get(targets_acc)])
         metrics = self.metric_calculator.calculate_metrics(targets, predictions)
-        metrics["loss"] = float(np.mean(jax.device_get(losses)))
+        metrics["loss"] = float(np.mean(
+            np.concatenate([np.asarray(l) for l in jax.device_get(losses)])
+        ))
         return metrics
 
     # ------------------------------------------------------------------
@@ -347,12 +366,18 @@ class Trainer:
             "opt_state": self.state.opt_state,
         }
 
-    def save_checkpoint(self, metrics: dict, is_best: bool = False):
+    def save_checkpoint(self, metrics: dict, is_best: bool = False,
+                        epoch_completed: bool = True):
+        """``epoch_completed=False`` marks a mid-epoch (preemption) save:
+        resume replays the in-progress epoch instead of skipping it."""
         save_dir = self.config.paths.save_dir
         os.makedirs(save_dir, exist_ok=True)
         meta = {
             "epoch": self.current_epoch,
+            "next_epoch": self.current_epoch + (1 if epoch_completed else 0),
             "best_val_auc": float(self.best_val_auc),
+            "best_epoch": int(self.best_epoch),
+            "patience_counter": int(self.patience_counter),
             "metrics": {k: float(v) for k, v in metrics.items()
                         if isinstance(v, (int, float, np.floating))},
             "config": self.config.to_dict(),
@@ -376,9 +401,13 @@ class Trainer:
             ),
             replicated_sharding(self.mesh),
         )
-        self.current_epoch = int(meta.get("epoch", 0)) + 1
+        self.current_epoch = int(
+            meta.get("next_epoch", int(meta.get("epoch", 0)) + 1)
+        )
         self.start_epoch = self.current_epoch
         self.best_val_auc = float(meta.get("best_val_auc", 0.0))
+        self.best_epoch = int(meta.get("best_epoch", 0))
+        self.patience_counter = int(meta.get("patience_counter", 0))
         logger.info(f"Resumed from {path} at epoch {self.current_epoch}")
 
     # ------------------------------------------------------------------
@@ -463,16 +492,17 @@ class Trainer:
                 if self._preemption.preempted:
                     raise _Preempted()
         except _Preempted:
-            # SIGTERM (TPU-VM preemption): save a full-resume checkpoint for
-            # the last COMPLETED epoch so `--resume auto` replays correctly
+            # SIGTERM (TPU-VM preemption): save a mid-epoch checkpoint marked
+            # incomplete so `--resume auto` replays the in-progress epoch —
+            # including epoch 0 (a round-1 clamp made it resume at epoch 1)
             logger.warning("Preempted — saving resume checkpoint and exiting")
-            self.current_epoch = max(self.current_epoch - 1, 0)
             last_metrics = (
                 self.val_metrics_history[-1]
                 if self.val_metrics_history
                 else {"mean_auc": 0.0}
             )
-            self.save_checkpoint(last_metrics, is_best=False)
+            self.save_checkpoint(last_metrics, is_best=False,
+                                 epoch_completed=False)
         except Exception as e:
             logger.error(f"Training failed with error: {e}")
             raise

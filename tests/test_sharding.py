@@ -105,3 +105,83 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_pad_batch_wraps_rows():
+    from gavit_tpu.parallel.mesh import pad_batch, shard_batch_padded
+
+    x = np.arange(5 * 3, dtype=np.float32).reshape(5, 3)
+    y = np.arange(5, dtype=np.int32)
+    (px, py), n = pad_batch((x, y), 8)
+    assert n == 5 and px.shape == (8, 3) and py.shape == (8,)
+    np.testing.assert_array_equal(px[5:], x[:3])  # wrap: rows 0..2 repeated
+    np.testing.assert_array_equal(py[5:], y[:3])
+    # already divisible: untouched
+    (qx, _), n2 = pad_batch((x[:4], y[:4]), 2)
+    assert n2 == 4 and qx.shape == (4, 3)
+
+    mesh = make_mesh(MeshConfig(data=8))
+    (sx, sy), n3 = shard_batch_padded(mesh, (x, y))
+    assert n3 == 5 and sx.shape == (8, 3)
+    np.testing.assert_array_equal(np.asarray(sx)[:5], x)
+
+
+def test_ragged_tail_validation_on_mesh(tmp_path):
+    """drop_last=False val loaders with a tail batch not divisible by the
+    data-axis size must not crash validate() (ADVICE r1, medium) and must
+    average loss over genuine rows only."""
+    from gavit_tpu.models.vit import build_model, init_params
+    from gavit_tpu.training import Trainer
+
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 1, "num_heads": 2,
+                  "num_classes": 14},
+        "data": {"batch_size": 16, "image_size": 16},
+        "training": {"epochs": 1, "warmup_epochs": 1, "precision": "fp32"},
+        "paths": {"save_dir": str(tmp_path / "c"),
+                  "log_dir": str(tmp_path / "l")},
+    })
+    model = build_model(cfg.model, precision="fp32")
+    params = init_params(model, jax.random.key(0))
+    tr_ds = SyntheticChestXrayDataset(size=16, image_size=16, seed=0)
+    va_ds = SyntheticChestXrayDataset(size=21, image_size=16, seed=1)  # 16+5
+    tl = DataLoader(tr_ds, 16, num_workers=1)
+    vl = DataLoader(va_ds, 16, num_workers=1)
+    mesh = make_mesh(MeshConfig(data=8))
+    t = Trainer(model, params, tl, vl, cfg, mesh=mesh)
+    m = t.validate()
+    assert np.isfinite(m["loss"]) and np.isfinite(m["mean_auc"])
+
+    # cross-check the masked loss against a single-device exact computation
+    mesh1 = make_mesh(MeshConfig(data=1), devices=jax.devices()[:1])
+    t1 = Trainer(model, params, tl, vl, cfg, mesh=mesh1)
+    m1 = t1.validate()
+    assert abs(m["loss"] - m1["loss"]) < 1e-5
+
+
+def test_ragged_tail_train_epoch_on_mesh(tmp_path):
+    """A ragged final train batch (drop_last=False) wrap-pads instead of
+    crashing; the step counter still advances once per host batch."""
+    from gavit_tpu.models.vit import build_model, init_params
+    from gavit_tpu.training import Trainer
+
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 1, "num_heads": 2,
+                  "num_classes": 14},
+        "data": {"batch_size": 16, "image_size": 16},
+        "training": {"epochs": 1, "warmup_epochs": 1, "precision": "fp32",
+                     "log_every": 100},
+        "paths": {"save_dir": str(tmp_path / "c"),
+                  "log_dir": str(tmp_path / "l")},
+    })
+    model = build_model(cfg.model, precision="fp32")
+    params = init_params(model, jax.random.key(0))
+    ds = SyntheticChestXrayDataset(size=21, image_size=16, seed=0)
+    loader = DataLoader(ds, 16, num_workers=1)
+    mesh = make_mesh(MeshConfig(data=8))
+    t = Trainer(model, params, loader, loader, cfg, mesh=mesh)
+    metrics = t.train_epoch()
+    assert int(t.state.step) == 2  # batches of 16 and 5(padded to 8)
+    assert np.isfinite(metrics["loss"])

@@ -180,3 +180,38 @@ def test_validate_deterministic(tmp_path):
     m2 = trainer.validate()
     assert m1["loss"] == pytest.approx(m2["loss"], abs=1e-7)
     assert m1["mean_auc"] == pytest.approx(m2["mean_auc"], abs=1e-9)
+
+
+def test_preemption_epoch0_resumes_at_epoch0(tmp_path):
+    """Preemption before any completed epoch must replay epoch 0 on resume
+    (a round-1 clamp made it skip to epoch 1 — ADVICE r1)."""
+    from gavit_tpu.utils.preemption import PreemptionHandler
+
+    cfg, trainer = _setup(tmp_path, epochs=5)
+    handler = PreemptionHandler()
+    handler._flag.set()  # preempt at the first safe point, inside epoch 0
+    trainer._preemption = handler
+    trainer.train()
+
+    latest = ckpt_lib.latest_checkpoint(cfg.paths.save_dir)
+    _, trainer2 = _setup(tmp_path, epochs=5)
+    trainer2.restore_checkpoint(latest)
+    assert trainer2.current_epoch == 0  # epoch 0 never completed
+
+
+def test_restore_patience_and_best_epoch(tmp_path):
+    """patience_counter/best_epoch survive resume so early stopping picks up
+    exactly where it left off (ADVICE r1)."""
+    cfg, trainer = _setup(tmp_path, epochs=1)
+    trainer.train()
+    trainer.patience_counter = 3
+    trainer.best_epoch = 7
+    trainer.save_checkpoint({"mean_auc": 0.5})
+    path = str(
+        tmp_path / "ckpt" / ckpt_lib.checkpoint_name(trainer.current_epoch, 0.5)
+    )
+
+    _, trainer2 = _setup(tmp_path, epochs=1)
+    trainer2.restore_checkpoint(path)
+    assert trainer2.patience_counter == 3
+    assert trainer2.best_epoch == 7
