@@ -83,8 +83,14 @@ def build_adjacency(
     elif mode == "knn":
         kk = min(k, n - 1)
         masked_sim = jnp.where(no_self, sim, _NEG_INF)
-        kth = jax.lax.top_k(masked_sim, kk)[0][..., -1:]
-        mask = masked_sim >= kth
+        # select by top_k INDICES, not a >=kth threshold: duplicate
+        # similarities (e.g. identical black-border patches) would otherwise
+        # over-select. XLA TopK is stable — ties resolve to lower indices —
+        # which the fused kernel's extraction loop reproduces exactly.
+        idx = jax.lax.top_k(masked_sim, kk)[1]
+        mask = jnp.any(
+            idx[..., None] == jnp.arange(n, dtype=idx.dtype), axis=-2
+        )
     elif mode == "threshold":
         mask = (sim > threshold) & no_self
         # rows with no edge above threshold fall back to a self-edge
@@ -154,13 +160,24 @@ def _graph_kernel(
     elif mode == "knn":
         kk = min(k, n_valid - 1)
         work = jnp.where(no_self, sim, _NEG_INF)
-        kth = jnp.full((n_pad, 1), _NEG_INF, dtype=jnp.float32)
-        # iterative max-extraction: after kk passes `kth` holds the kk-th
-        # largest value per row (exact when rows have no duplicate sims)
+        # iterative max-extraction, ONE element per pass (leftmost of the
+        # row maxima), matching jax.lax.top_k's stable lower-index-first tie
+        # rule so duplicate similarities select exactly k edges and the
+        # XLA-recompute backward sees the same adjacency. Float masks —
+        # Mosaic cannot lower bool reductions/selects.
+        col_f = col.astype(jnp.float32)
+        big = jnp.float32(n_pad)
+        sel = jnp.zeros((n_pad, n_pad), jnp.float32)
         for _ in range(kk):
-            kth = jnp.max(work, axis=-1, keepdims=True)
-            work = jnp.where(work >= kth, _NEG_INF, work)
-        mask = no_self & (sim >= kth)
+            m = jnp.max(work, axis=-1, keepdims=True)
+            is_max = jnp.where(work >= m, 1.0, 0.0)
+            first = jnp.min(
+                jnp.where(is_max > 0.5, col_f, big), axis=-1, keepdims=True
+            )
+            hit = jnp.where(col_f == first, 1.0, 0.0)
+            sel = sel + hit
+            work = jnp.where(hit > 0.5, _NEG_INF, work)
+        mask = no_self & (sel > 0.5)
     elif mode == "threshold":
         # float masks: Mosaic cannot lower bool reductions / bool selects
         # ("unsupported target bitwidth for truncation")

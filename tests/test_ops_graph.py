@@ -108,3 +108,76 @@ def test_temperature_sharpens_distribution():
     sharp = np.asarray(build_adjacency(t, mode="dense", temperature=0.1))
     soft = np.asarray(build_adjacency(t, mode="dense", temperature=10.0))
     assert sharp.max() > soft.max()
+
+
+def _duplicate_tokens(b=2, n=16, d=8, n_dup=6, seed=5):
+    """Tokens where the first n_dup rows are IDENTICAL (black-border patches
+    on real X-rays produce exactly this) → many exact similarity ties."""
+    t = np.array(jax.random.normal(jax.random.key(seed), (b, n, d)))
+    t[:, :n_dup] = t[:, :1]
+    return jnp.asarray(t)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_knn_exactly_k_edges_with_duplicate_tokens(dtype):
+    """Duplicate similarities must still select exactly k edges per row
+    (the old >=kth threshold over-selected on ties)."""
+    k = 3
+    t = _duplicate_tokens().astype(dtype)
+    adj = np.asarray(build_adjacency(t, mode="knn", k=k)).astype(np.float32)
+    nz = (adj > 1e-6).sum(-1)
+    assert (nz == k).all(), f"edge counts {np.unique(nz)}"
+    np.testing.assert_allclose(adj.sum(-1), 1.0, atol=3e-3)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_knn_matches_xla_with_duplicate_tokens(dtype):
+    """Fused kernel and XLA path must agree on tie-broken adjacencies —
+    both resolve ties to lower indices (stable top_k rule)."""
+    t = _duplicate_tokens().astype(dtype)
+    v = jax.random.normal(jax.random.key(9), t.shape).astype(dtype)
+    ref = graph_aggregate(build_adjacency(t, mode="knn", k=3), v)
+    fused = fused_graph_aggregate(t, v, "knn", 3)
+    atol = 1e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(ref, np.float32), atol=atol
+    )
+
+
+def test_knn_tie_break_prefers_lower_indices():
+    """With all tokens identical, every off-diagonal sim ties at 1.0: the
+    k selected neighbours must be the lowest non-self indices, in BOTH paths."""
+    b, n, d, k = 1, 8, 4, 3
+    t = jnp.broadcast_to(jax.random.normal(jax.random.key(1), (1, 1, d)),
+                         (b, n, d))
+    adj = np.asarray(build_adjacency(t, mode="knn", k=k))
+    for i in range(n):
+        expected = [j for j in range(n) if j != i][:k]
+        got = list(np.nonzero(adj[0, i] > 1e-9)[0])
+        assert got == expected, f"row {i}: {got} != {expected}"
+
+    v = jax.random.normal(jax.random.key(2), (b, n, d))
+    fused = fused_graph_aggregate(t, v, "knn", k)
+    ref = graph_aggregate(jnp.asarray(adj), v)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_knn_grad_consistent_with_forward_on_ties():
+    """The custom-VJP backward rebuilds the adjacency via the XLA path; with
+    deterministic tie-breaks its gradients must equal differentiating the
+    XLA composition directly, even on duplicate tokens."""
+    t = _duplicate_tokens(b=1, n=10, d=6)
+    v = jax.random.normal(jax.random.key(3), t.shape)
+
+    def f_fused(t, v):
+        return jnp.sum(fused_graph_aggregate(t, v, "knn", 3) ** 2)
+
+    def f_ref(t, v):
+        return jnp.sum(
+            graph_aggregate(build_adjacency(t, mode="knn", k=3), v) ** 2
+        )
+
+    gt_f, gv_f = jax.grad(f_fused, argnums=(0, 1))(t, v)
+    gt_r, gv_r = jax.grad(f_ref, argnums=(0, 1))(t, v)
+    np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_r), atol=1e-5)
