@@ -119,6 +119,10 @@ class DataConfig:
     # the reference *actually trains with* (scripts/train.py:29-47 — flip +
     # color-jitter only); True adds src/data/transforms.py:17-22 semantics.
     augment_affine: bool = False
+    # input pipeline: "threaded" (default) or "grain" — grain adds
+    # checkpointable mid-epoch iteration (resume on the next unseen sample)
+    # and per-host sharding for multi-host slices
+    loader: str = "threaded"
     extra: dict = field(default_factory=dict)
 
 

@@ -54,7 +54,15 @@ class _ToBatchArrays(grain.MapTransform):
 
 
 class GrainLoader:
-    """Deterministic, checkpointable batching loader over a dataset."""
+    """Deterministic, checkpointable batching loader over a dataset.
+
+    Epoch-exact: each epoch is its own single-pass sampler seeded with
+    ``seed + epoch`` (matching the threaded ``DataLoader``'s per-epoch
+    shuffles), so batches never straddle epoch boundaries and per-epoch
+    sample accounting is exact regardless of ``drop_last``. ``set_epoch``
+    is idempotent — calling it with the current epoch keeps the live
+    iterator (and any restored mid-epoch position) intact.
+    """
 
     def __init__(
         self,
@@ -64,28 +72,36 @@ class GrainLoader:
         num_workers: int = 0,
         drop_last: bool = False,
         seed: int = 42,
-        num_epochs: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
         self.drop_last = drop_last
-        source = _DatasetSource(dataset)
+        self.seed = seed
+        self.epoch = 0
+        self._source = _DatasetSource(dataset)
+        self._loader = None
+        self._iterator = None
+
+    def _build(self):
         sampler = grain.IndexSampler(
-            num_records=len(source),
+            num_records=len(self._source),
             shard_options=grain.ShardByJaxProcess(drop_remainder=True),
-            shuffle=shuffle,
-            num_epochs=num_epochs,
-            seed=seed,
+            shuffle=self.shuffle,
+            num_epochs=1,
+            seed=self.seed + self.epoch,
         )
         operations = [
-            grain.Batch(batch_size=batch_size, drop_remainder=drop_last),
+            grain.Batch(batch_size=self.batch_size,
+                        drop_remainder=self.drop_last),
             _ToBatchArrays(),
         ]
         self._loader = grain.DataLoader(
-            data_source=source,
+            data_source=self._source,
             sampler=sampler,
             operations=operations,
-            worker_count=num_workers,
+            worker_count=self.num_workers,
         )
         self._iterator = None
 
@@ -96,30 +112,32 @@ class GrainLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def set_epoch(self, epoch: int):
-        # grain's sampler tracks epochs internally via the record index
-        pass
+        if self._loader is None or epoch != self.epoch:
+            self.epoch = epoch
+            self._build()
 
     def iterator(self) -> grain.PyGrainDatasetIterator:
-        """The persistent (checkpointable) iterator over all epochs."""
+        """The persistent (checkpointable) iterator of the current epoch."""
+        if self._loader is None:
+            self._build()
         if self._iterator is None:
             self._iterator = iter(self._loader)
         return self._iterator
 
     def __iter__(self):
-        # fresh single-epoch view for epoch-style training loops
-        count = 0
-        n = len(self)
         it = self.iterator()
-        while count < n:
+        while True:
             try:
                 yield next(it)
             except StopIteration:
-                return
-            count += 1
+                break
+        self.set_epoch(self.epoch + 1)
 
     # -- iterator checkpointing (mid-epoch resume) -----------------------
 
     def get_state(self) -> bytes:
+        """Serialized position within the CURRENT epoch; pair it with the
+        epoch number (``Trainer.save_checkpoint`` persists both)."""
         return self.iterator().get_state()
 
     def set_state(self, state: bytes):

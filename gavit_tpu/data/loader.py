@@ -90,34 +90,41 @@ class DataLoader:
         self.epoch += 1
 
 
-def device_iterator(loader, mesh=None, prefetch: int = 2):
+def device_iterator(loader, mesh=None, prefetch: int = 2, state_fn=None):
     """Wrap a host loader: place batches on the mesh ahead of consumption.
 
-    Yields ``(images, labels, n_real)``. Ragged tail batches (drop_last=False
-    loaders on a multi-device mesh) are wrap-padded up to the data-axis size;
-    ``n_real`` is the number of genuine rows — consumers slice model outputs
-    back to it before accumulating metrics.
+    Yields ``(images, labels, n_real, state)``. Ragged tail batches
+    (drop_last=False loaders on a multi-device mesh) are wrap-padded up to
+    the data-axis size; ``n_real`` is the number of genuine rows — consumers
+    slice model outputs back to it before accumulating metrics.
+
+    ``state_fn`` (e.g. ``GrainLoader.get_state``) is sampled immediately
+    after each batch is pulled from the host iterator — BEFORE lookahead
+    pulls the next one — so ``state`` is the exact resume point "everything
+    up to and including this batch was consumed", immune to prefetch skew.
     """
     from gavit_tpu.parallel.mesh import shard_batch_padded
 
     import jax
 
-    def place(batch):
+    def pull(it):
+        batch = next(it)
+        state = state_fn() if state_fn is not None else None
         if mesh is not None:
             placed, n_real = shard_batch_padded(mesh, batch)
-            return (*placed, n_real)
-        return (*jax.device_put(batch), batch[0].shape[0])
+            return (*placed, n_real, state)
+        return (*jax.device_put(batch), batch[0].shape[0], state)
 
     queue = collections.deque()
     it = iter(loader)
     try:
         for _ in range(prefetch):
-            queue.append(place(next(it)))
+            queue.append(pull(it))
     except StopIteration:
         pass
     while queue:
         try:
-            queue.append(place(next(it)))
+            queue.append(pull(it))
         except StopIteration:
             pass
         yield queue.popleft()

@@ -25,6 +25,7 @@ TPU-native redesign:
 
 from __future__ import annotations
 
+import base64
 import logging
 import os
 import time
@@ -129,6 +130,7 @@ class Trainer:
         self._train_step = self._build_train_step(config.data.augment_affine)
         self._eval_step = self._build_eval_step()
         self._preemption: PreemptionHandler | None = None
+        self._loader_state: bytes | None = None  # mid-epoch resume point
 
     # ------------------------------------------------------------------
     # jitted steps
@@ -224,65 +226,76 @@ class Trainer:
         if self.wandb is not None:
             self.wandb.log(data)
 
+    def _loader_state_fn(self):
+        """get_state of a checkpointable train loader (grain), else None."""
+        return getattr(self.train_loader, "get_state", None)
+
     def _chunked_batches(self):
-        """Yield (is_stacked, images, labels, n_real): K host batches stacked
-        into one [K, B, ...] device transfer when steps_per_call > 1. Ragged
-        tail batches are wrap-padded to the mesh's data-axis size (n_real is
-        the genuine row count; padded rows repeat real samples, so the extra
-        gradient contribution is bounded and outputs are sliced back before
-        metric accumulation)."""
+        """Yield (is_stacked, images, labels, n_real, loader_state): K host
+        batches stacked into one [K, B, ...] device transfer when
+        steps_per_call > 1. Ragged tail batches are wrap-padded to the mesh's
+        data-axis size (n_real is the genuine row count; padded rows repeat
+        real samples, so the extra gradient contribution is bounded and
+        outputs are sliced back before metric accumulation). loader_state is
+        the iterator position AFTER pulling the batch (mid-epoch resume
+        point), or None for loaders without get_state."""
         from gavit_tpu.parallel.mesh import (
             shard_batch_padded,
             stacked_batch_sharding,
         )
 
+        state_fn = self._loader_state_fn()
         k = max(1, self.config.training.steps_per_call)
         if k == 1:
             yield from (
                 (False, *batch)
                 for batch in device_iterator(
                     self.train_loader, self.mesh,
-                    prefetch=self.config.data.prefetch,
+                    prefetch=self.config.data.prefetch, state_fn=state_fn,
                 )
             )
             return
 
         stacked_sh = stacked_batch_sharding(self.mesh)
-        buf_im, buf_lb = [], []
+        buf_im, buf_lb, buf_st = [], [], []
         bs = None
         for images, labels in self.train_loader:
+            snap = state_fn() if state_fn is not None else None
             if bs is None:
                 bs = images.shape[0]
             if images.shape[0] == bs:
                 buf_im.append(images)
                 buf_lb.append(labels)
+                buf_st.append(snap)
             else:  # ragged tail batch — flush buffer, emit singly
-                if buf_im:
-                    for im, lb in zip(buf_im, buf_lb):
-                        placed, n = shard_batch_padded(self.mesh, (im, lb))
-                        yield False, *placed, n
-                    buf_im, buf_lb = [], []
+                for im, lb, st in zip(buf_im, buf_lb, buf_st):
+                    placed, n = shard_batch_padded(self.mesh, (im, lb))
+                    yield False, *placed, n, st
+                buf_im, buf_lb, buf_st = [], [], []
                 placed, n = shard_batch_padded(self.mesh, (images, labels))
-                yield False, *placed, n
+                yield False, *placed, n, snap
                 continue
             if len(buf_im) == k:
                 yield True, jax.device_put(
                     np.stack(buf_im), stacked_sh
-                ), jax.device_put(np.stack(buf_lb), stacked_sh), k * bs
-                buf_im, buf_lb = [], []
-        for im, lb in zip(buf_im, buf_lb):
+                ), jax.device_put(np.stack(buf_lb), stacked_sh), k * bs, buf_st[-1]
+                buf_im, buf_lb, buf_st = [], [], []
+        for im, lb, st in zip(buf_im, buf_lb, buf_st):
             placed, n = shard_batch_padded(self.mesh, (im, lb))
-            yield False, *placed, n
+            yield False, *placed, n, st
 
     def train_epoch(self) -> dict:
         tr = self.config.training
         preds_acc, targets_acc, metric_acc = [], [], []
         n_images = 0
+        self._loader_state = None  # snapshots arrive per-batch below
         t0 = time.perf_counter()
 
         self.train_loader.set_epoch(self.current_epoch)
         step_in_epoch = 0
-        for is_stacked, images, labels, n_real in self._chunked_batches():
+        for is_stacked, images, labels, n_real, loader_state in (
+            self._chunked_batches()
+        ):
             if is_stacked:
                 self.state, metrics, preds = self._train_multi(
                     self.state, self.base_rng, images, labels
@@ -302,6 +315,11 @@ class Trainer:
                 metric_acc.append(metrics)
                 n_images += n_real
                 steps_done = 1
+
+            if loader_state is not None:
+                # every sample up to and including this step's batch has been
+                # trained on — the exact mid-epoch resume point
+                self._loader_state = loader_state
 
             if self._preemption is not None and self._preemption.preempted:
                 raise _Preempted()
@@ -340,7 +358,7 @@ class Trainer:
 
     def validate(self) -> dict:
         preds_acc, targets_acc, losses = [], [], []
-        for images, labels, n_real in device_iterator(
+        for images, labels, n_real, _ in device_iterator(
             self.val_loader, self.mesh, prefetch=self.config.data.prefetch
         ):
             preds, loss_vec = self._eval_step(self.state.params, images, labels)
@@ -382,6 +400,12 @@ class Trainer:
                         if isinstance(v, (int, float, np.floating))},
             "config": self.config.to_dict(),
         }
+        if not epoch_completed and self._loader_state is not None:
+            # checkpointable-iterator position: resume consumes exactly the
+            # samples this run never trained on (grain loaders only)
+            meta["loader_state_b64"] = base64.b64encode(
+                self._loader_state
+            ).decode("ascii")
         name = ckpt_lib.checkpoint_name(self.current_epoch, metrics["mean_auc"])
         ckpt_lib.save(os.path.join(save_dir, name), self._state_tree(), meta)
         if is_best:
@@ -408,6 +432,14 @@ class Trainer:
         self.best_val_auc = float(meta.get("best_val_auc", 0.0))
         self.best_epoch = int(meta.get("best_epoch", 0))
         self.patience_counter = int(meta.get("patience_counter", 0))
+        loader_state = meta.get("loader_state_b64")
+        if loader_state and hasattr(self.train_loader, "set_state"):
+            # mid-epoch resume: position the checkpointable iterator on the
+            # first unseen sample of the in-progress epoch (set_epoch is
+            # idempotent, so train_epoch's own call keeps this position)
+            self.train_loader.set_epoch(self.current_epoch)
+            self.train_loader.set_state(base64.b64decode(loader_state))
+            logger.info("Restored mid-epoch data-iterator state")
         logger.info(f"Resumed from {path} at epoch {self.current_epoch}")
 
     # ------------------------------------------------------------------

@@ -121,15 +121,30 @@ def main():
         train_ds, val_ds = create_datasets(config, args.synthetic)
         log_dataset_info(train_ds, val_ds)
 
-        train_loader = DataLoader(
-            train_ds, config.data.batch_size, shuffle=True,
-            num_workers=config.data.num_workers, drop_last=True,
-            seed=config.training.seed,
-        )
-        val_loader = DataLoader(
-            val_ds, config.data.batch_size, shuffle=False,
-            num_workers=config.data.num_workers,
-        )
+        if config.data.loader == "grain":
+            # checkpointable iteration: mid-epoch preemption resumes on the
+            # next unseen sample (Trainer persists the iterator state)
+            from gavit_tpu.data.grain_pipeline import GrainLoader
+
+            train_loader = GrainLoader(
+                train_ds, config.data.batch_size, shuffle=True,
+                num_workers=config.data.num_workers, drop_last=True,
+                seed=config.training.seed,
+            )
+            val_loader = GrainLoader(
+                val_ds, config.data.batch_size, shuffle=False,
+                num_workers=config.data.num_workers,
+            )
+        else:
+            train_loader = DataLoader(
+                train_ds, config.data.batch_size, shuffle=True,
+                num_workers=config.data.num_workers, drop_last=True,
+                seed=config.training.seed,
+            )
+            val_loader = DataLoader(
+                val_ds, config.data.batch_size, shuffle=False,
+                num_workers=config.data.num_workers,
+            )
 
         model, params = create_model(config, jax.random.key(config.training.seed))
         logger.info(f"Created model with {count_params(params)} parameters")

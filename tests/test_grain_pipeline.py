@@ -31,10 +31,26 @@ def test_shuffle_determinism():
 
 
 def test_epochs_differ_when_shuffled():
-    loader = GrainLoader(_ds(), 8, shuffle=True, seed=3, num_epochs=2)
-    epoch1 = [next(loader.iterator()) for _ in range(5)]
-    epoch2 = [next(loader.iterator()) for _ in range(5)]
+    loader = GrainLoader(_ds(), 8, shuffle=True, seed=3)
+    epoch1 = list(loader)  # auto-advances to the next epoch, like DataLoader
+    epoch2 = list(loader)
+    assert len(epoch1) == len(epoch2) == 5
     assert not np.array_equal(epoch1[0][1], epoch2[0][1])
+
+
+def test_batches_never_straddle_epochs():
+    """drop_last=False + non-divisible size: each epoch yields its own tail
+    batch and the next epoch restarts cleanly (ADVICE r1: the old persistent
+    multi-epoch sampler let grain.Batch mix samples across the boundary)."""
+    ds = _ds(size=20)  # 20 = 2x8 + 4
+    loader = GrainLoader(ds, 8, shuffle=True, seed=3)
+    epoch1 = list(loader)
+    epoch2 = list(loader)
+    assert [b[0].shape[0] for b in epoch1] == [8, 8, 4]
+    assert [b[0].shape[0] for b in epoch2] == [8, 8, 4]
+    # every sample appears exactly once per epoch
+    ids1 = np.concatenate([b[1] for b in epoch1])
+    assert ids1.shape[0] == 20
 
 
 def test_mid_epoch_checkpoint_restore():
@@ -52,3 +68,94 @@ def test_mid_epoch_checkpoint_restore():
     got = next(loader2.iterator())
     np.testing.assert_array_equal(got[0], expected[0])
     np.testing.assert_array_equal(got[1], expected[1])
+
+
+class _PreemptAfterSteps:
+    """Stub preemption handler: fires after n checks (≈ n train steps)."""
+
+    def __init__(self, n):
+        self.n = n
+        self.count = 0
+
+    @property
+    def preempted(self):
+        self.count += 1
+        return self.count > self.n
+
+    def install(self):
+        return self
+
+    def uninstall(self):
+        pass
+
+
+def _grain_trainer(tmp_path, ds, epochs=1):
+    import jax
+
+    from gavit_tpu.config import from_dict
+    from gavit_tpu.models.vit import build_model, init_params
+    from gavit_tpu.training import Trainer
+
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 8, "patch_size": 4,
+                  "embed_dim": 16, "depth": 1, "num_heads": 2,
+                  "num_classes": 14},
+        "data": {"batch_size": 8, "image_size": 8},
+        "training": {"epochs": epochs, "warmup_epochs": 1,
+                     "precision": "fp32", "log_every": 1000},
+        "paths": {"save_dir": str(tmp_path / "ckpt"),
+                  "log_dir": str(tmp_path / "logs")},
+    })
+    model = build_model(cfg.model, precision="fp32")
+    params = init_params(model, jax.random.key(0))
+    tl = GrainLoader(ds, 8, shuffle=True, num_workers=0, drop_last=True,
+                     seed=11)
+    vl = GrainLoader(ds, 8, shuffle=False, num_workers=0)
+    return cfg, Trainer(model, params, tl, vl, cfg)
+
+
+def test_kill_mid_epoch_resume_consumes_exactly_unseen_samples(tmp_path):
+    """The flagship checkpointable-iteration feature, end-to-end through the
+    Trainer: preempt mid-epoch, resume from the saved checkpoint, and the
+    union of batches trained before + after is EXACTLY one epoch's samples,
+    with no overlap — despite the device_iterator's prefetch lookahead."""
+    from gavit_tpu.utils import checkpoint as ckpt_lib
+
+    ds = _ds(size=64)
+    # sample identity: each synthetic image is deterministic per index
+    id_of = {ds[i][0].tobytes(): i for i in range(len(ds))}
+
+    cfg, trainer = _grain_trainer(tmp_path, ds)
+    seen_a = []
+    orig_step = trainer._train_step
+
+    def recording_step(state, rng, images, labels):
+        for row in np.asarray(images):
+            seen_a.append(id_of[row.tobytes()])
+        return orig_step(state, rng, images, labels)
+
+    trainer._train_step = recording_step
+    trainer._preemption = _PreemptAfterSteps(3)
+    trainer.train()  # preempts after a few steps, saves mid-epoch checkpoint
+    steps_a = len(seen_a) // 8
+    assert 0 < steps_a < 8 and len(seen_a) == steps_a * 8
+
+    latest = ckpt_lib.latest_checkpoint(cfg.paths.save_dir)
+    cfg2, trainer2 = _grain_trainer(tmp_path, ds)
+    trainer2.restore_checkpoint(latest)
+    assert trainer2.current_epoch == 0  # epoch 0 was in progress
+
+    seen_b = []
+    orig_step2 = trainer2._train_step
+
+    def recording_step2(state, rng, images, labels):
+        for row in np.asarray(images):
+            seen_b.append(id_of[row.tobytes()])
+        return orig_step2(state, rng, images, labels)
+
+    trainer2._train_step = recording_step2
+    trainer2.train()
+    # exactly the remaining batches of epoch 0
+    assert len(seen_b) == (8 - steps_a) * 8
+    assert set(seen_a).isdisjoint(seen_b)
+    assert sorted(seen_a + seen_b) == list(range(64))
