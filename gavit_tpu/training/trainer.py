@@ -107,15 +107,17 @@ class Trainer:
             )
         # private copy: the jitted step donates the state, so the Trainer must
         # own its buffers (device_put may alias the caller's arrays, which
-        # donation would then delete out from under the caller)
+        # donation would then delete out from under the caller). jit (not
+        # device_put) so multi-process runs can build the replicated global
+        # arrays — device_put rejects non-addressable shardings.
         copy_in = jax.jit(
             lambda s: s, out_shardings=replicated_sharding(self.mesh)
         )
         self.state = copy_in(state)
-        self.base_rng = jax.device_put(
-            jax.random.key(tr.seed, impl=tr.prng_impl),
-            replicated_sharding(self.mesh),
-        )
+        self.base_rng = jax.jit(
+            lambda: jax.random.key(tr.seed, impl=tr.prng_impl),
+            out_shardings=replicated_sharding(self.mesh),
+        )()
 
         self.current_epoch = start_epoch
         self.start_epoch = start_epoch
@@ -225,6 +227,17 @@ class Trainer:
     def _log(self, data: dict):
         if self.wandb is not None:
             self.wandb.log(data)
+
+    @staticmethod
+    def _gather_host(tree):
+        """Device→host transfer that works in multi-process runs, where the
+        accumulated arrays are globally sharded (not fully addressable on
+        any single host): all-gather across processes, plain get otherwise."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.process_allgather(tree, tiled=True)
+        return jax.device_get(tree)
 
     def _loader_state_fn(self):
         """get_state of a checkpointable train loader (grain), else None."""
@@ -339,8 +352,8 @@ class Trainer:
             step_in_epoch += steps_done
 
         elapsed = time.perf_counter() - t0
-        predictions = np.vstack([np.asarray(p) for p in jax.device_get(preds_acc)])
-        targets = np.vstack([np.asarray(t) for t in jax.device_get(targets_acc)])
+        predictions = np.vstack([np.asarray(p) for p in self._gather_host(preds_acc)])
+        targets = np.vstack([np.asarray(t) for t in self._gather_host(targets_acc)])
         losses = [
             {k: v for k, v in jax.tree.map(np.mean, m).items()}
             for m in jax.device_get(metric_acc)
@@ -365,11 +378,11 @@ class Trainer:
             preds_acc.append(preds[:n_real])
             targets_acc.append(labels[:n_real])
             losses.append(loss_vec[:n_real])
-        predictions = np.vstack([np.asarray(p) for p in jax.device_get(preds_acc)])
-        targets = np.vstack([np.asarray(t) for t in jax.device_get(targets_acc)])
+        predictions = np.vstack([np.asarray(p) for p in self._gather_host(preds_acc)])
+        targets = np.vstack([np.asarray(t) for t in self._gather_host(targets_acc)])
         metrics = self.metric_calculator.calculate_metrics(targets, predictions)
         metrics["loss"] = float(np.mean(
-            np.concatenate([np.asarray(l) for l in jax.device_get(losses)])
+            np.concatenate([np.asarray(l) for l in self._gather_host(losses)])
         ))
         return metrics
 
@@ -417,14 +430,15 @@ class Trainer:
     def restore_checkpoint(self, path: str):
         """Full resume: params + optimizer + schedule step + epoch/best-AUC."""
         state, meta = ckpt_lib.restore(path, self._state_tree())
-        self.state = jax.device_put(
-            TrainState(
-                step=state["step"],
-                params=state["params"],
-                opt_state=state["opt_state"],
-            ),
-            replicated_sharding(self.mesh),
-        )
+        # jit (not device_put): multi-process restores need non-addressable
+        # replicated global arrays
+        self.state = jax.jit(
+            lambda s: s, out_shardings=replicated_sharding(self.mesh)
+        )(TrainState(
+            step=state["step"],
+            params=state["params"],
+            opt_state=state["opt_state"],
+        ))
         self.current_epoch = int(
             meta.get("next_epoch", int(meta.get("epoch", 0)) + 1)
         )

@@ -30,6 +30,19 @@ import jax
 if os.environ.get("GAVIT_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["GAVIT_PLATFORM"])
 
+# multi-host: the distributed runtime must initialize before any backend use
+# (SURVEY.md §2.6/§5 comm-backend row). GAVIT_COORDINATOR/NUM_PROCESSES/
+# PROCESS_ID describe an explicit cluster (the 2-process CPU test uses this);
+# GAVIT_MULTIHOST=1 lets jax auto-detect TPU-pod topology.
+if os.environ.get("GAVIT_COORDINATOR"):
+    jax.distributed.initialize(
+        coordinator_address=os.environ["GAVIT_COORDINATOR"],
+        num_processes=int(os.environ["GAVIT_NUM_PROCESSES"]),
+        process_id=int(os.environ["GAVIT_PROCESS_ID"]),
+    )
+elif os.environ.get("GAVIT_MULTIHOST"):
+    jax.distributed.initialize()
+
 import gavit_tpu
 
 gavit_tpu.setup_compilation_cache()
@@ -121,29 +134,39 @@ def main():
         train_ds, val_ds = create_datasets(config, args.synthetic)
         log_dataset_info(train_ds, val_ds)
 
+        # each process feeds its shard of the global batch (single-process:
+        # local == global). Grain shards via ShardByJaxProcess; the threaded
+        # loader via shard_by_process index slicing.
+        pc = jax.process_count()
+        if config.data.batch_size % pc:
+            raise ValueError(
+                f"global batch {config.data.batch_size} not divisible by "
+                f"process count {pc}"
+            )
+        local_bs = config.data.batch_size // pc
         if config.data.loader == "grain":
             # checkpointable iteration: mid-epoch preemption resumes on the
             # next unseen sample (Trainer persists the iterator state)
             from gavit_tpu.data.grain_pipeline import GrainLoader
 
             train_loader = GrainLoader(
-                train_ds, config.data.batch_size, shuffle=True,
+                train_ds, local_bs, shuffle=True,
                 num_workers=config.data.num_workers, drop_last=True,
                 seed=config.training.seed,
             )
             val_loader = GrainLoader(
-                val_ds, config.data.batch_size, shuffle=False,
+                val_ds, local_bs, shuffle=False,
                 num_workers=config.data.num_workers,
             )
         else:
             train_loader = DataLoader(
-                train_ds, config.data.batch_size, shuffle=True,
+                train_ds, local_bs, shuffle=True,
                 num_workers=config.data.num_workers, drop_last=True,
-                seed=config.training.seed,
+                seed=config.training.seed, shard_by_process=pc > 1,
             )
             val_loader = DataLoader(
-                val_ds, config.data.batch_size, shuffle=False,
-                num_workers=config.data.num_workers,
+                val_ds, local_bs, shuffle=False,
+                num_workers=config.data.num_workers, shard_by_process=pc > 1,
             )
 
         model, params = create_model(config, jax.random.key(config.training.seed))

@@ -1,0 +1,77 @@
+"""Worker for the 2-process multi-host test (tests/test_multihost.py).
+
+Each process gets 4 virtual CPU devices (global mesh: 8), initializes
+jax.distributed against a local coordinator, feeds its per-process shard of
+the global batch, and runs one training epoch + validation. The parent
+asserts both processes report identical globally-gathered metrics.
+
+Usage: python multihost_worker.py <coordinator> <num_processes> <process_id>
+"""
+
+import json
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=sys.argv[1],
+    num_processes=int(sys.argv[2]),
+    process_id=int(sys.argv[3]),
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gavit_tpu.config import from_dict  # noqa: E402
+from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset  # noqa: E402
+from gavit_tpu.models.vit import build_model, init_params  # noqa: E402
+from gavit_tpu.training import Trainer  # noqa: E402
+
+
+def main():
+    assert jax.device_count() == 8, jax.device_count()
+    assert jax.local_device_count() == 4
+
+    global_bs = 16
+    local_bs = global_bs // jax.process_count()
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 1, "num_heads": 2,
+                  "num_classes": 14},
+        "data": {"batch_size": global_bs, "image_size": 16},
+        "training": {"epochs": 1, "warmup_epochs": 1, "precision": "fp32",
+                     "log_every": 1000},
+        "paths": {"save_dir": "/tmp/mh_ckpt", "log_dir": "/tmp/mh_logs"},
+    })
+    train_ds = SyntheticChestXrayDataset(size=64, image_size=16, seed=0)
+    val_ds = SyntheticChestXrayDataset(size=32, image_size=16, seed=1)
+    tl = DataLoader(train_ds, local_bs, shuffle=True, num_workers=1,
+                    drop_last=True, shard_by_process=True)
+    vl = DataLoader(val_ds, local_bs, shuffle=False, num_workers=1,
+                    shard_by_process=True)
+    assert len(tl) == 64 // jax.process_count() // local_bs
+
+    model = build_model(cfg.model, precision="fp32")
+    params = init_params(model, jax.random.key(0))
+    trainer = Trainer(model, params, tl, vl, cfg)
+
+    train_metrics = trainer.train_epoch()
+    val_metrics = trainer.validate()
+    print("RESULT " + json.dumps({
+        "process": jax.process_index(),
+        "step": int(trainer.state.step),
+        "train_loss": round(float(train_metrics["loss"]), 6),
+        "train_auc": round(float(train_metrics["mean_auc"]), 6),
+        "val_loss": round(float(val_metrics["loss"]), 6),
+        "val_auc": round(float(val_metrics["mean_auc"]), 6),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Multi-host data parallelism: a REAL 2-process jax.distributed cluster on
+CPU (4 virtual devices per process = the same 8-device mesh the rest of the
+suite uses), each process feeding its per-process shard of the global batch
+(SURVEY.md §2.6 / §5 distributed-comm rows).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_data_parallel_training():
+    coordinator = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count (4)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
+             coordinator, "2", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=str(REPO),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
+
+    results = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, out[-2000:]
+        results.append(json.loads(lines[-1][len("RESULT "):]))
+
+    a, b = results
+    assert {a["process"], b["process"]} == {0, 1}
+    # SPMD: both processes executed the same global program and gathered the
+    # same global predictions — metrics must be identical
+    for key in ("step", "train_loss", "train_auc", "val_loss", "val_auc"):
+        assert a[key] == b[key], (key, a, b)
+    assert a["step"] == 4  # 64 samples / 16 global batch
+    assert np.isfinite(a["train_loss"]) and np.isfinite(a["val_loss"])
+
+
+def test_shard_by_process_single_process_is_identity():
+    from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
+
+    ds = SyntheticChestXrayDataset(size=32, image_size=8, seed=0)
+    plain = DataLoader(ds, 8, shuffle=True, num_workers=1, seed=5)
+    sharded = DataLoader(ds, 8, shuffle=True, num_workers=1, seed=5,
+                         shard_by_process=True)
+    assert len(plain) == len(sharded)
+    for (ia, la), (ib, lb) in zip(plain, sharded):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(la, lb)

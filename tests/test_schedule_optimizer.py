@@ -139,3 +139,4 @@ def test_default_decays_everything_like_torch():
     for _ in range(3):
         updates, st = tx.update(zero_grads, st, params)
     assert float(jnp.abs(updates["model"]["norm"]["scale"]).max()) > 0.0
+
