@@ -270,32 +270,60 @@ class Trainer:
             return
 
         stacked_sh = stacked_batch_sharding(self.mesh)
-        buf_im, buf_lb, buf_st = [], [], []
-        bs = None
-        for images, labels in self.train_loader:
-            snap = state_fn() if state_fn is not None else None
-            if bs is None:
-                bs = images.shape[0]
-            if images.shape[0] == bs:
-                buf_im.append(images)
-                buf_lb.append(labels)
-                buf_st.append(snap)
-            else:  # ragged tail batch — flush buffer, emit singly
-                for im, lb, st in zip(buf_im, buf_lb, buf_st):
-                    placed, n = shard_batch_padded(self.mesh, (im, lb))
-                    yield False, *placed, n, st
-                buf_im, buf_lb, buf_st = [], [], []
-                placed, n = shard_batch_padded(self.mesh, (images, labels))
-                yield False, *placed, n, snap
-                continue
-            if len(buf_im) == k:
-                yield True, jax.device_put(
-                    np.stack(buf_im), stacked_sh
-                ), jax.device_put(np.stack(buf_lb), stacked_sh), k * bs, buf_st[-1]
-                buf_im, buf_lb, buf_st = [], [], []
-        for im, lb, st in zip(buf_im, buf_lb, buf_st):
+
+        def host_items():
+            """Host-side grouping: ('stack', imK, lbK, n, state) |
+            ('single', im, lb, state)."""
+            buf_im, buf_lb, buf_st = [], [], []
+            bs = None
+            for images, labels in self.train_loader:
+                snap = state_fn() if state_fn is not None else None
+                if bs is None:
+                    bs = images.shape[0]
+                if images.shape[0] == bs:
+                    buf_im.append(images)
+                    buf_lb.append(labels)
+                    buf_st.append(snap)
+                else:  # ragged tail batch — flush buffer, emit singly
+                    for im, lb, st in zip(buf_im, buf_lb, buf_st):
+                        yield "single", im, lb, st
+                    buf_im, buf_lb, buf_st = [], [], []
+                    yield "single", images, labels, snap
+                    continue
+                if len(buf_im) == k:
+                    yield ("stack", np.stack(buf_im), np.stack(buf_lb),
+                           k * bs, buf_st[-1])
+                    buf_im, buf_lb, buf_st = [], [], []
+            for im, lb, st in zip(buf_im, buf_lb, buf_st):
+                yield "single", im, lb, st
+
+        def place(item):
+            if item[0] == "stack":
+                _, im, lb, n, st = item
+                return (True, jax.device_put(im, stacked_sh),
+                        jax.device_put(lb, stacked_sh), n, st)
+            _, im, lb, st = item
             placed, n = shard_batch_padded(self.mesh, (im, lb))
-            yield False, *placed, n, st
+            return (False, *placed, n, st)
+
+        # device_iterator-style lookahead: keep `prefetch` placed stacks in
+        # flight so the [K,B,...] transfers overlap the multi-step dispatch
+        # (the k=1 path gets this from device_iterator already)
+        import collections
+
+        queue = collections.deque()
+        it = host_items()
+        try:
+            for _ in range(max(1, self.config.data.prefetch)):
+                queue.append(place(next(it)))
+        except StopIteration:
+            pass
+        while queue:
+            try:
+                queue.append(place(next(it)))
+            except StopIteration:
+                pass
+            yield queue.popleft()
 
     def train_epoch(self) -> dict:
         tr = self.config.training

@@ -37,7 +37,8 @@ class VisualizationManager:
 
     # -- curves ---------------------------------------------------------
 
-    def plot_roc_curves(self, targets, predictions, filename="roc_curves.png"):
+    def plot_roc_curves(self, targets, predictions, filename="roc_curves.png",
+                        title="ROC Curves", dpi=None):
         plt.figure(figsize=(15, 10))
         for i, disease in enumerate(self.disease_names):
             if len(np.unique(targets[:, i])) < 2:
@@ -47,11 +48,11 @@ class VisualizationManager:
         plt.plot([0, 1], [0, 1], "k--")
         plt.xlabel("False Positive Rate")
         plt.ylabel("True Positive Rate")
-        plt.title("ROC Curves")
+        plt.title(title)
         plt.legend(bbox_to_anchor=(1.05, 1), loc="upper left")
         plt.tight_layout()
         path = self.save_dir / filename
-        plt.savefig(path, bbox_inches="tight")
+        plt.savefig(path, bbox_inches="tight", dpi=dpi)
         plt.close()
         return path
 
@@ -76,7 +77,7 @@ class VisualizationManager:
         return path
 
     def plot_confusion_matrices(self, targets, predictions, threshold=0.5,
-                                filename="confusion_matrices.png"):
+                                filename="confusion_matrices.png", dpi=None):
         import seaborn as sns
 
         binary = (predictions > threshold).astype(np.int64)
@@ -97,7 +98,7 @@ class VisualizationManager:
             ax.remove()
         plt.tight_layout()
         path = self.save_dir / filename
-        plt.savefig(path, bbox_inches="tight")
+        plt.savefig(path, bbox_inches="tight", dpi=dpi)
         plt.close()
         return path
 

@@ -40,7 +40,6 @@ import numpy as np
 import matplotlib
 
 matplotlib.use("Agg")
-import matplotlib.pyplot as plt
 
 from gavit_tpu.config import load_config
 from gavit_tpu.data import ChestXrayDataset, DataLoader, SyntheticChestXrayDataset
@@ -48,6 +47,7 @@ from gavit_tpu.models.vit import build_model, init_params
 from gavit_tpu.ops.preprocess import val_preprocess
 from gavit_tpu.training.losses import init_criterion_params
 from gavit_tpu.utils import checkpoint as ckpt_lib
+from gavit_tpu.utils.visualization import VisualizationManager
 from gavit_tpu.utils.metrics import MetricCalculator
 
 logger = logging.getLogger(__name__)
@@ -69,49 +69,6 @@ def load_model(checkpoint_path, config):
             state["params"]["model"],
         )
     return model, params
-
-
-def plot_roc_curves(predictions, targets, disease_names, save_dir):
-    from sklearn.metrics import auc, roc_curve
-
-    plt.figure(figsize=(15, 10))
-    for i, disease in enumerate(disease_names):
-        if len(np.unique(targets[:, i])) < 2:
-            continue
-        fpr, tpr, _ = roc_curve(targets[:, i], predictions[:, i])
-        plt.plot(fpr, tpr, label=f"{disease} (AUC = {auc(fpr, tpr):.3f})")
-    plt.plot([0, 1], [0, 1], "k--")
-    plt.xlabel("False Positive Rate")
-    plt.ylabel("True Positive Rate")
-    plt.title("ROC Curves for All Diseases")
-    plt.legend(bbox_to_anchor=(1.05, 1), loc="upper left")
-    plt.tight_layout()
-    plt.savefig(save_dir / "roc_curves.pdf", dpi=300, bbox_inches="tight")
-    plt.close()
-
-
-def plot_confusion_matrices(predictions, targets, disease_names, save_dir):
-    import seaborn as sns
-
-    binary = (predictions > 0.5).astype(np.int64)
-    n_rows = (len(disease_names) + 3) // 4
-    fig, axes = plt.subplots(n_rows, 4, figsize=(20, 5 * n_rows))
-    axes = axes.flatten()
-    for i, (disease, ax) in enumerate(zip(disease_names, axes)):
-        t, b = targets[:, i].astype(np.int64), binary[:, i]
-        cm = np.array([
-            [np.sum((t == 0) & (b == 0)), np.sum((t == 0) & (b == 1))],
-            [np.sum((t == 1) & (b == 0)), np.sum((t == 1) & (b == 1))],
-        ])
-        sns.heatmap(cm, annot=True, fmt="d", cmap="Blues", ax=ax)
-        ax.set_title(disease)
-        ax.set_xlabel("Predicted")
-        ax.set_ylabel("True")
-    for ax in axes[len(disease_names):]:
-        ax.remove()
-    plt.tight_layout()
-    plt.savefig(save_dir / "confusion_matrices.pdf", dpi=300, bbox_inches="tight")
-    plt.close()
 
 
 def analyze_error_patterns(predictions, targets, disease_names):
@@ -168,9 +125,16 @@ def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0):
     ci_metrics = metric_calculator.calculate_confidence_intervals(
         targets, predictions, seed=prng_seed
     )
-    plot_roc_curves(predictions, targets, dataloader.dataset.disease_names, save_dir)
-    plot_confusion_matrices(
-        predictions, targets, dataloader.dataset.disease_names, save_dir
+    # one plotting implementation: VisualizationManager renders the
+    # reference's exact evaluation artifacts (figsize (15,10), dpi 300,
+    # "ROC Curves for All Diseases" — /root/reference/scripts/evaluate.py:39-80)
+    viz = VisualizationManager(save_dir, dataloader.dataset.disease_names)
+    viz.plot_roc_curves(
+        targets, predictions, filename="roc_curves.pdf",
+        title="ROC Curves for All Diseases", dpi=300,
+    )
+    viz.plot_confusion_matrices(
+        targets, predictions, filename="confusion_matrices.pdf", dpi=300,
     )
     error_df, error_cooccurrence = analyze_error_patterns(
         predictions, targets, dataloader.dataset.disease_names
