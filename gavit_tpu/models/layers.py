@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gavit_tpu.ops.dropout import dropout_seed, fused_dropout
-from gavit_tpu.ops.quant import int8_matmul
+from gavit_tpu.ops.dropout import dropout_seed, fused_dropout, fused_dropout_add
+from gavit_tpu.ops.quant import int8_matmul, static_int8_matmul
 from gavit_tpu.ops.attention import (
     attention_reference,
     fused_qkv_attention,
@@ -68,7 +68,7 @@ class QDense(nn.Module):
             if self.use_bias else None
         )
         if self.quant:
-            y = int8_matmul(x, kernel).astype(self.dtype)
+            y = self._int8(x, kernel).astype(self.dtype)
             if bias is not None:
                 y = y + bias.astype(self.dtype)
             return y
@@ -91,6 +91,27 @@ class QDense(nn.Module):
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
+
+    def _int8(self, x, kernel):
+        return _int8_forward(self, x, kernel)
+
+
+def _int8_forward(mod: nn.Module, x, kernel):
+    """Static PTQ when a calibrated "quant" collection is supplied
+    (pre-quantised weights + per-tensor activation scales — no per-call
+    absmax passes); dynamic PTQ otherwise, sowing activation absmax for
+    calibration runs (mutable=['quant_stats'])."""
+    if mod.has_variable("quant", "w_q"):
+        w_q = mod.variable("quant", "w_q", lambda: None).value
+        w_scale = mod.variable("quant", "w_scale", lambda: None).value
+        act_scale = mod.variable("quant", "act_scale", lambda: None).value
+        return static_int8_matmul(x, w_q, w_scale, act_scale)
+    mod.sow(
+        "quant_stats", "act_absmax",
+        jnp.max(jnp.abs(x.astype(jnp.float32))),
+        reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0.0),
+    )
+    return int8_matmul(x, kernel)
 
 
 class PatchEmbed(nn.Module):
@@ -130,16 +151,23 @@ class Mlp(nn.Module):
     drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
+    apply_out_drop: bool = True  # False: caller fuses drop into the residual
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = QDense(self.hidden_dim, dtype=self.dtype, quant=self.quant,
                    name="fc1")(x, fuse_bias_grad=not deterministic)
-        x = jax.nn.gelu(x, approximate=False)
+        # exact erf matches nn.GELU() for the fp32 parity bar, but costs
+        # 0.77 ms/pair of VPU time vs ~0.08 for the tanh form (measured,
+        # BASELINE.md). In bf16 the tanh approximation's max deviation
+        # (~3e-4) is BELOW the bf16 rounding step of the activations, so the
+        # bf16 compute path uses it; fp32 keeps exact erf.
+        x = jax.nn.gelu(x, approximate=self.dtype == jnp.bfloat16)
         x = FusedDropout(self.drop)(x, deterministic=deterministic)
         x = QDense(self.out_dim, dtype=self.dtype, quant=self.quant,
                    name="fc2")(x, fuse_bias_grad=not deterministic)
-        x = FusedDropout(self.drop)(x, deterministic=deterministic)
+        if self.apply_out_drop:
+            x = FusedDropout(self.drop)(x, deterministic=deterministic)
         return x
 
 
@@ -196,7 +224,7 @@ class HeadMergeProj(nn.Module):
         if self.quant:
             b, h, n, d = out4.shape
             merged = out4.transpose(0, 2, 1, 3).reshape(b, n, h * d)
-            y = int8_matmul(merged, kernel).astype(self.dtype)
+            y = _int8_forward(self, merged, kernel).astype(self.dtype)
             return y + bias.astype(self.dtype)
         w = kernel.reshape(self.heads, self.head_dim, self.features)
         y = jnp.einsum(
@@ -221,6 +249,7 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     impl: str = "auto"
     quant: bool = False
+    apply_out_drop: bool = True  # False: caller fuses drop into the residual
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, return_probs: bool = False):
@@ -244,7 +273,10 @@ class Attention(nn.Module):
                 features=c, heads=h, head_dim=hd, dtype=self.dtype,
                 quant=self.quant, name="proj",
             )(out4)
-            out = FusedDropout(self.proj_drop)(out, deterministic=deterministic)
+            if self.apply_out_drop:
+                out = FusedDropout(self.proj_drop)(
+                    out, deterministic=deterministic
+                )
             if return_probs:
                 return out, None
             return out
@@ -272,7 +304,8 @@ class Attention(nn.Module):
             out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = QDense(c, dtype=self.dtype, quant=self.quant, name="proj")(
             out, fuse_bias_grad=not deterministic)
-        out = FusedDropout(self.proj_drop)(out, deterministic=deterministic)
+        if self.apply_out_drop:
+            out = FusedDropout(self.proj_drop)(out, deterministic=deterministic)
         if return_probs:
             return out, probs
         return out
@@ -301,23 +334,42 @@ class Block(nn.Module):
                 )
             return y
 
+        # branch dropout + residual add in ONE kernel pass (saves the
+        # dropout intermediate's HBM round-trip per site) — only when
+        # drop_path is inactive (it sits between dropout and the add) and
+        # the residual stream shares the branch dtype
+        fuse_res = (
+            not deterministic
+            and self.drop > 0.0
+            and self.drop_path_rate == 0.0
+            and x.dtype == self.dtype
+        )
+
+        def residual(x, branch):
+            if fuse_res:
+                seed = dropout_seed(self.make_rng("dropout"))
+                return fused_dropout_add(branch, x, seed, self.drop)
+            return x + maybe_drop_path(branch)
+
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
         attn_out = Attention(
             dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
-            impl=self.attn_impl, quant=self.quant, name="attn",
+            impl=self.attn_impl, quant=self.quant,
+            apply_out_drop=not fuse_res, name="attn",
         )(h.astype(self.dtype), deterministic, return_probs=return_probs)
         probs = None
         if return_probs:
             attn_out, probs = attn_out
-        x = x + maybe_drop_path(attn_out)
+        x = residual(x, attn_out)
 
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
         h = Mlp(
             hidden_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
-            drop=self.drop, dtype=self.dtype, quant=self.quant, name="mlp",
+            drop=self.drop, dtype=self.dtype, quant=self.quant,
+            apply_out_drop=not fuse_res, name="mlp",
         )(h.astype(self.dtype), deterministic)
-        x = x + maybe_drop_path(h)
+        x = residual(x, h)
         if return_probs:
             return x, probs
         return x

@@ -86,3 +86,68 @@ def dropout_seed(rng) -> jax.Array:
     """Derive an int32 kernel seed from a JAX PRNG key (cheap scalar)."""
     return jax.random.randint(rng, (1,), minval=0, maxval=2**31 - 1,
                               dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# fused dropout + residual add
+# ---------------------------------------------------------------------------
+
+
+def _dropout_add_kernel(seed_ref, y_ref, r_ref, o_ref, *, rate: float):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    y = y_ref[0]
+    r = r_ref[0]
+    bits = pltpu.bitcast(pltpu.prng_random_bits(y.shape), jnp.uint32)
+    threshold = jnp.uint32(int(rate * 0xFFFFFFFF))
+    keep = bits >= threshold
+    scale = jnp.asarray(1.0 / (1.0 - rate), y.dtype)
+    o_ref[0] = (r + jnp.where(keep, y * scale, 0)).astype(o_ref.dtype)
+
+
+def _run_add(y, residual, seed, rate):
+    if not _on_tpu():
+        keep = jax.random.bernoulli(
+            jax.random.PRNGKey(seed[0].astype(jnp.uint32)), 1.0 - rate,
+            y.shape,
+        )
+        return residual + jnp.where(
+            keep, y / jnp.asarray(1.0 - rate, y.dtype), 0
+        )
+    b = y.shape[0]
+    block = (1,) + y.shape[1:]
+    idx = lambda i: (i,) + (0,) * (y.ndim - 1)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_dropout_add_kernel, rate=rate),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(block, idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(block, idx, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(y.shape, y.dtype),
+    )(seed, y, residual)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_dropout_add(y, residual, seed, rate: float):
+    """residual + dropout(y) in ONE kernel pass.
+
+    Saves the intermediate dropout output's full HBM round-trip per residual
+    site (24 sites/step at ViT-B): the branch tensor is read once, the mask
+    comes from the in-kernel PRNG, and the sum is written directly. Backward:
+    d_residual = g (no kernel — pure aliasing), d_y = dropout(g) with the
+    same seed (mask regenerated, flash-style, never stored).
+    """
+    return _run_add(y, residual, seed, rate)
+
+
+def _fda_fwd(y, residual, seed, rate):
+    return _run_add(y, residual, seed, rate), seed
+
+
+def _fda_bwd(rate, seed, g):
+    return _run(g, seed, rate), g, None
+
+
+fused_dropout_add.defvjp(_fda_fwd, _fda_bwd)

@@ -14,12 +14,13 @@ Accuracy is use-at-your-own-risk as with any PTQ; the test suite pins the
 logit deviation envelope vs the bf16 path, and serving exposes it as the
 opt-in ``precision='int8'``.
 
-**Measured result (v5e, ViT-B/16+graph2, BASELINE.md): dynamic int8 is
-SLOWER than bf16 here** — 2,158 vs 2,500 img/s at b64, logit rel-dev 4.3% —
-because the per-call absmax/round/cast passes are full HBM round-trips that
-outweigh the MXU savings at this model size. Kept as opt-in infrastructure
-for weight-only / static-scale variants (which remove the per-call
-activation passes); bf16 remains the recommended serving precision.
+**Measured results (v5e, ViT-B/16+graph2, BASELINE.md)**: dynamic int8 is
+SLOWER than bf16 (2,158 vs ~2,500 img/s at b64 — the per-call absmax/round/
+cast passes are full HBM round-trips), but **static-scale int8
+(:func:`static_int8_matmul` with weights pre-quantised offline and
+activation scales calibrated via ``gavit_tpu.serving.calibrate_int8``) WINS:
+2,850 vs 2,572 img/s at b64 (+10.8%), max prob deviation 0.019**. The
+dynamic path remains only as the calibration-run fallback.
 """
 
 from __future__ import annotations
@@ -35,6 +36,31 @@ def quantize_rowwise(x, axis: int = -1):
     scale = jnp.maximum(absmax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def quantize_activation_static(x, act_scale):
+    """int8 quantisation with a pre-calibrated per-tensor scale: one fused
+    mul/round/clip pass (no absmax reduction — the pass that made dynamic
+    PTQ lose on HBM traffic, BASELINE.md)."""
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / act_scale), -127, 127
+    ).astype(jnp.int8)
+    return q
+
+
+def static_int8_matmul(x, w_q, w_scale, act_scale):
+    """x [..., K] fp × pre-quantised w_q int8 [K, N] → [..., N] fp32.
+
+    Weights are quantised ONCE offline (per-column scales); activations use a
+    static per-tensor scale calibrated from sample batches
+    (``gavit_tpu.serving.calibrate_int8``).
+    """
+    xq = quantize_activation_static(x, act_scale)
+    acc = jax.lax.dot_general(
+        xq, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (act_scale * w_scale)
 
 
 def int8_matmul(x, w):

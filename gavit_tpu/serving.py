@@ -34,6 +34,44 @@ logger = logging.getLogger(__name__)
 DEFAULT_BUCKETS = (1, 8, 32, 128)
 
 
+def calibrate_int8(model, params, sample_x, *, n_batches: int = 1) -> dict:
+    """Build the static-PTQ "quant" collection: per-tensor activation scales
+    observed on sample batches + per-column pre-quantised weights.
+
+    Replaces dynamic PTQ's per-call absmax/round passes (which made int8
+    LOSE to bf16 — BASELINE.md): weights are quantised once here, and the
+    activation quantisation at serve time is a single fused mul/round/cast.
+
+    ``sample_x``: normalised model input [N, H, W, C] (or a list of such
+    batches). Returns ``{"quant": tree}`` to merge into apply() variables.
+    """
+    from gavit_tpu.ops.quant import quantize_rowwise
+
+    batches = sample_x if isinstance(sample_x, (list, tuple)) else [sample_x]
+    stats = None
+    for x in batches[:n_batches] if n_batches else batches:
+        _, out = model.apply(
+            {"params": params}, x, deterministic=True,
+            mutable=["quant_stats"],
+        )
+        s = out["quant_stats"]
+        stats = s if stats is None else jax.tree.map(jnp.maximum, stats, s)
+
+    def build(stats_node, params_node):
+        quant = {}
+        if "act_absmax" in stats_node:
+            absmax = stats_node["act_absmax"]
+            quant["act_scale"] = jnp.maximum(absmax, 1e-8) / 127.0
+            w_q, w_scale = quantize_rowwise(params_node["kernel"], axis=0)
+            quant["w_q"], quant["w_scale"] = w_q, w_scale
+        for key, val in stats_node.items():
+            if key != "act_absmax":
+                quant[key] = build(val, params_node[key])
+        return quant
+
+    return {"quant": build(stats, params)}
+
+
 class Predictor:
     def __init__(
         self,
@@ -64,15 +102,31 @@ class Predictor:
                     state["params"]["model"],
                 )
         self.params = jax.device_put(params)
+        self._variables = {"params": self.params}
+        self._is_int8 = precision == "int8"
 
         @jax.jit
-        def predict_fn(params, images_u8):
+        def predict_fn(variables, images_u8):
             x = val_preprocess(images_u8)
-            logits = self.model.apply({"params": params}, x, deterministic=True)
+            logits = self.model.apply(variables, x, deterministic=True)
             return jax.nn.sigmoid(logits.astype(jnp.float32))
 
-        self._predict = predict_fn
+        self._predict_fn = predict_fn
         self._latencies_ms: list[float] = []
+
+    def _predict(self, _params_ignored, images_u8):
+        return self._predict_fn(self._variables, images_u8)
+
+    def calibrate(self, images_u8: np.ndarray):
+        """Static PTQ calibration (int8 predictors): observe activation
+        ranges on representative images, pre-quantise the weights, and switch
+        the serve path to static scales (no per-call absmax passes)."""
+        if not self._is_int8:
+            return
+        x = val_preprocess(jnp.asarray(np.asarray(images_u8, np.uint8)))
+        quant = calibrate_int8(self.model, self.params, x)
+        self._variables = {"params": self.params, **jax.device_put(quant)}
+        logger.info("int8 predictor calibrated (static scales)")
 
     # ------------------------------------------------------------------
 
@@ -85,6 +139,12 @@ class Predictor:
     def warmup(self):
         """Pre-compile every bucket shape (avoids first-request stalls)."""
         s = self.config.data.image_size
+        if self._is_int8 and "quant" not in self._variables:
+            # fall-back calibration on noise images so warmup compiles the
+            # final (static-scale) serve path; call calibrate() with real
+            # images first for production-quality scales
+            rng = np.random.default_rng(0)
+            self.calibrate(rng.integers(0, 256, (8, s, s, 3), np.uint8))
         for b in self.buckets:
             x = np.zeros((b, s, s, 3), np.uint8)
             jax.block_until_ready(self._predict(self.params, x))

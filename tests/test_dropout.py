@@ -52,3 +52,47 @@ def test_jit_and_bf16():
     seed = dropout_seed(jax.random.key(4))
     y = jax.jit(lambda x, s: fused_dropout(x, s, 0.1))(x, seed)
     assert y.dtype == jnp.bfloat16
+
+
+def test_fused_dropout_add_matches_composition():
+    """residual + dropout(y) fused in one pass == the two-op composition
+    with the same seed (both paths share the mask generator)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gavit_tpu.ops.dropout import fused_dropout, fused_dropout_add
+
+    y = jax.random.normal(jax.random.key(0), (4, 16, 32))
+    r = jax.random.normal(jax.random.key(1), (4, 16, 32))
+    seed = jnp.asarray([77], jnp.int32)
+    fused = fused_dropout_add(y, r, seed, 0.3)
+    composed = r + fused_dropout(y, seed, 0.3)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(composed),
+                               atol=1e-6)
+
+
+def test_fused_dropout_add_grads():
+    """d_residual = g exactly; d_y = the forward mask applied to g."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gavit_tpu.ops.dropout import fused_dropout_add
+
+    y = jax.random.normal(jax.random.key(0), (2, 8, 16))
+    r = jax.random.normal(jax.random.key(1), (2, 8, 16))
+    seed = jnp.asarray([5], jnp.int32)
+
+    out, vjp = jax.vjp(lambda y, r: fused_dropout_add(y, r, seed, 0.25), y, r)
+    g = jax.random.normal(jax.random.key(2), out.shape)
+    dy, dr = vjp(g)
+    np.testing.assert_array_equal(np.asarray(dr), np.asarray(g))
+    # mask identity with the forward: dropped positions (where out == r)
+    dropped = np.asarray(out) == np.asarray(r)
+    assert dropped.any() and not dropped.all()
+    np.testing.assert_array_equal(np.asarray(dy) == 0.0, dropped)
+    kept = ~dropped
+    np.testing.assert_allclose(
+        np.asarray(dy)[kept], (np.asarray(g) / 0.75)[kept], rtol=1e-5
+    )
