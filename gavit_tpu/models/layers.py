@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gavit_tpu.ops.dropout import dropout_seed, fused_dropout, fused_dropout_add
+from gavit_tpu.ops.dropout import dropout_seed, fused_dropout
 from gavit_tpu.ops.quant import int8_matmul, static_int8_matmul
 from gavit_tpu.ops.attention import (
     attention_reference,
@@ -157,12 +157,15 @@ class Mlp(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         x = QDense(self.hidden_dim, dtype=self.dtype, quant=self.quant,
                    name="fc1")(x, fuse_bias_grad=not deterministic)
-        # exact erf matches nn.GELU() for the fp32 parity bar, but costs
-        # 0.77 ms/pair of VPU time vs ~0.08 for the tanh form (measured,
-        # BASELINE.md). In bf16 the tanh approximation's max deviation
-        # (~3e-4) is BELOW the bf16 rounding step of the activations, so the
-        # bf16 compute path uses it; fp32 keeps exact erf.
-        x = jax.nn.gelu(x, approximate=self.dtype == jnp.bfloat16)
+        # exact erf matches nn.GELU() for the fp32 parity bar. In bf16 the
+        # tanh approximation's max deviation (~3e-4) is below the bf16
+        # rounding step, and it is measured FASTER forward-only (inference
+        # 2,502→3,013 img/s at b64) but SLOWER through the backward
+        # (train 170.8→182.1 ms/step — the tanh VJP costs more VPU time
+        # than erf's exp). So: tanh on the deterministic bf16 path, exact
+        # erf everywhere gradients flow (A/B in BASELINE.md round-2 table).
+        approx = self.dtype == jnp.bfloat16 and deterministic
+        x = jax.nn.gelu(x, approximate=approx)
         x = FusedDropout(self.drop)(x, deterministic=deterministic)
         x = QDense(self.out_dim, dtype=self.dtype, quant=self.quant,
                    name="fc2")(x, fuse_bias_grad=not deterministic)
@@ -334,29 +337,19 @@ class Block(nn.Module):
                 )
             return y
 
-        # branch dropout + residual add in ONE kernel pass (saves the
-        # dropout intermediate's HBM round-trip per site) — only when
-        # drop_path is inactive (it sits between dropout and the add) and
-        # the residual stream shares the branch dtype
-        fuse_res = (
-            not deterministic
-            and self.drop > 0.0
-            and self.drop_path_rate == 0.0
-            and x.dtype == self.dtype
-        )
-
+        # NOTE: fusing branch-dropout + residual-add into one Pallas pass
+        # (ops/dropout.py::fused_dropout_add) was measured SLOWER here
+        # (+4.4 ms/step at ViT-B b128 — the kernel boundary costs more than
+        # the saved dropout-intermediate round-trip; BASELINE.md round-2
+        # table), so the Block keeps the separate kernel + XLA add.
         def residual(x, branch):
-            if fuse_res:
-                seed = dropout_seed(self.make_rng("dropout"))
-                return fused_dropout_add(branch, x, seed, self.drop)
             return x + maybe_drop_path(branch)
 
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
         attn_out = Attention(
             dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
-            impl=self.attn_impl, quant=self.quant,
-            apply_out_drop=not fuse_res, name="attn",
+            impl=self.attn_impl, quant=self.quant, name="attn",
         )(h.astype(self.dtype), deterministic, return_probs=return_probs)
         probs = None
         if return_probs:
@@ -366,8 +359,7 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
         h = Mlp(
             hidden_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
-            drop=self.drop, dtype=self.dtype, quant=self.quant,
-            apply_out_drop=not fuse_res, name="mlp",
+            drop=self.drop, dtype=self.dtype, quant=self.quant, name="mlp",
         )(h.astype(self.dtype), deterministic)
         x = residual(x, h)
         if return_probs:

@@ -133,6 +133,11 @@ def _run_add(y, residual, seed, rate):
 def fused_dropout_add(y, residual, seed, rate: float):
     """residual + dropout(y) in ONE kernel pass.
 
+    NOTE: measured SLOWER than separate fused_dropout + XLA add inside the
+    ViT block (+4.4 ms/step at ViT-B b128, BASELINE.md round-2 table) — the
+    extra kernel boundary beats the saved round-trip there, so ``Block`` does
+    not use it; kept as a standalone op for shapes where it wins.
+
     Saves the intermediate dropout output's full HBM round-trip per residual
     site (24 sites/step at ViT-B): the branch tensor is read once, the mask
     comes from the in-kernel PRNG, and the sum is written directly. Backward:
