@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gavit_tpu.ops.dropout import dropout_seed, fused_dropout
+from gavit_tpu.ops.dropout import (
+    dropout_seed,
+    fused_dropout,
+    fused_gelu_dropout,
+)
 from gavit_tpu.ops.quant import int8_matmul, static_int8_matmul
 from gavit_tpu.ops.attention import (
     attention_reference,
@@ -157,16 +161,24 @@ class Mlp(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         x = QDense(self.hidden_dim, dtype=self.dtype, quant=self.quant,
                    name="fc1")(x, fuse_bias_grad=not deterministic)
-        # exact erf matches nn.GELU() for the fp32 parity bar. In bf16 the
-        # tanh approximation's max deviation (~3e-4) is below the bf16
-        # rounding step, and it is measured FASTER forward-only (inference
-        # 2,502→3,013 img/s at b64) but SLOWER through the backward
-        # (train 170.8→182.1 ms/step — the tanh VJP costs more VPU time
-        # than erf's exp). So: tanh on the deterministic bf16 path, exact
-        # erf everywhere gradients flow (A/B in BASELINE.md round-2 table).
-        approx = self.dtype == jnp.bfloat16 and deterministic
-        x = jax.nn.gelu(x, approximate=approx)
-        x = FusedDropout(self.drop)(x, deterministic=deterministic)
+        if not deterministic and self.drop > 0.0:
+            # exact-GELU + dropout in one Pallas pass: the erf computes in
+            # the dropout kernel's HBM-bound phase instead of gating the fc1
+            # GEMM epilogue, and the backward collapses to one kernel
+            # (ops/dropout.py::fused_gelu_dropout).
+            seed = dropout_seed(self.make_rng("dropout"))
+            x = fused_gelu_dropout(x, seed, self.drop)
+        else:
+            # exact erf matches nn.GELU() for the fp32 parity bar. In bf16
+            # the tanh approximation's max deviation (~3e-4) is below the
+            # bf16 rounding step, and it is measured FASTER forward-only
+            # (inference 2,502→3,084 img/s at b64) but SLOWER through the
+            # backward (train 170.8→182.1 ms/step — the tanh VJP costs more
+            # VPU time than erf's exp). So: tanh on the deterministic bf16
+            # path, exact erf everywhere gradients flow (BASELINE.md).
+            approx = self.dtype == jnp.bfloat16 and deterministic
+            x = jax.nn.gelu(x, approximate=approx)
+            x = FusedDropout(self.drop)(x, deterministic=deterministic)
         x = QDense(self.out_dim, dtype=self.dtype, quant=self.quant,
                    name="fc2")(x, fuse_bias_grad=not deterministic)
         if self.apply_out_drop:

@@ -156,3 +156,130 @@ def _fda_bwd(rate, seed, g):
 
 
 fused_dropout_add.defvjp(_fda_fwd, _fda_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused exact-GELU + dropout (the MLP mid-activation site)
+# ---------------------------------------------------------------------------
+
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT2PI = 0.3989422804014327
+
+
+def _erf_f32(x):
+    """erf from exp/mul/add only (Mosaic lowers no `erf` primitive):
+    Abramowitz–Stegun 7.1.26 rational approximation, max abs error 1.5e-7
+    exact / 2.8e-6 measured in fp32 arithmetic — far below bf16 resolution
+    and >2 orders under the 1e-3 parity bar."""
+    s = jnp.where(x < 0.0, -1.0, 1.0)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_f32(x):
+    return x * 0.5 * (1.0 + _erf_f32(x * _INV_SQRT2))
+
+
+def _gelu_grad_f32(x):
+    # d/dx [x·Φ(x)] = Φ(x) + x·φ(x)
+    phi = jnp.exp(x * x * -0.5) * _INV_SQRT2PI
+    cdf = 0.5 * (1.0 + _erf_f32(x * _INV_SQRT2))
+    return cdf + x * phi
+
+
+def _gelu_dropout_kernel(seed_ref, x_ref, o_ref, *, rate: float):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[0].astype(jnp.float32)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
+    keep = bits >= jnp.uint32(int(rate * 0xFFFFFFFF))
+    y = _gelu_f32(x) * (1.0 / (1.0 - rate))
+    o_ref[0] = jnp.where(keep, y, 0.0).astype(o_ref.dtype)
+
+
+def _gelu_dropout_bwd_kernel(seed_ref, x_ref, g_ref, o_ref, *, rate: float):
+    # regenerate the identical mask; dx = mask/keep · gelu'(x) · g
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    x = x_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
+    keep = bits >= jnp.uint32(int(rate * 0xFFFFFFFF))
+    dx = _gelu_grad_f32(x) * g * (1.0 / (1.0 - rate))
+    o_ref[0] = jnp.where(keep, dx, 0.0).astype(o_ref.dtype)
+
+
+def _gd_mask(x, seed, rate):
+    keep = jax.random.bernoulli(
+        jax.random.PRNGKey(seed[0].astype(jnp.uint32)), 1.0 - rate, x.shape
+    )
+    return keep
+
+
+def _run_gelu_dropout(x, seed, rate):
+    if not _on_tpu():
+        y = _gelu_f32(x.astype(jnp.float32)) / (1.0 - rate)
+        return jnp.where(_gd_mask(x, seed, rate), y, 0.0).astype(x.dtype)
+    b = x.shape[0]
+    block = (1,) + x.shape[1:]
+    idx = lambda i: (i,) + (0,) * (x.ndim - 1)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_gelu_dropout_kernel, rate=rate),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(block, idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(block, idx, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+    )(seed, x)
+
+
+def _run_gelu_dropout_bwd(x, g, seed, rate):
+    if not _on_tpu():
+        dx = (_gelu_grad_f32(x.astype(jnp.float32))
+              * g.astype(jnp.float32) / (1.0 - rate))
+        return jnp.where(_gd_mask(x, seed, rate), dx, 0.0).astype(x.dtype)
+    b = x.shape[0]
+    block = (1,) + x.shape[1:]
+    idx = lambda i: (i,) + (0,) * (x.ndim - 1)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_gelu_dropout_bwd_kernel, rate=rate),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(block, idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(block, idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(block, idx, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+    )(seed, x, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_gelu_dropout(x, seed, rate: float):
+    """dropout(GELU_exact(x)) in ONE kernel pass (the MLP mid-site).
+
+    Moves the erf off the fc1 GEMM epilogue — where its VPU cost gates the
+    MXU pipeline (measured 0.68 ms/pair, BASELINE.md) — into the dropout
+    kernel's HBM-bound phase, where the transcendental hides behind the
+    memory traffic. Backward is one kernel too (mask regenerated from the
+    seed, gelu' recomputed from the saved input): 3 tensor passes instead of
+    XLA's 5 (dropout-bwd R+W, then gelu-bwd R(gm, x)+W).
+    GELU is exact erf computed in fp32 in-kernel (the training-parity form;
+    the tanh approximation is inference-only — see models/layers.py).
+    """
+    return _run_gelu_dropout(x, seed, rate)
+
+
+def _fgd_fwd(x, seed, rate):
+    return _run_gelu_dropout(x, seed, rate), (x, seed)
+
+
+def _fgd_bwd(rate, res, g):
+    x, seed = res
+    return _run_gelu_dropout_bwd(x, g, seed, rate), None
+
+
+fused_gelu_dropout.defvjp(_fgd_fwd, _fgd_bwd)

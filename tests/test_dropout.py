@@ -96,3 +96,47 @@ def test_fused_dropout_add_grads():
     np.testing.assert_allclose(
         np.asarray(dy)[kept], (np.asarray(g) / 0.75)[kept], rtol=1e-5
     )
+
+
+def test_fused_gelu_dropout_matches_composition():
+    """dropout(gelu_exact(y)) fused in one pass == the composition with the
+    same seed (shared mask generator), in fp32 and bf16."""
+    from gavit_tpu.ops.dropout import fused_dropout, fused_gelu_dropout
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        y = jax.random.normal(jax.random.key(0), (4, 16, 32)).astype(dtype)
+        seed = jnp.asarray([91], jnp.int32)
+        fused = fused_gelu_dropout(y, seed, 0.3)
+        composed = fused_dropout(
+            jax.nn.gelu(y.astype(jnp.float32), approximate=False)
+            .astype(dtype),
+            seed, 0.3,
+        )
+        # bf16: the composition rounds twice (gelu→bf16, then rescale→bf16)
+        # while the fused kernel rounds once — allow ~2 ulp relative slack
+        np.testing.assert_allclose(
+            np.asarray(fused, np.float32), np.asarray(composed, np.float32),
+            rtol=(1e-6 if dtype == jnp.float32 else 2e-2),
+            atol=(1e-6 if dtype == jnp.float32 else 2e-2),
+        )
+
+
+def test_fused_gelu_dropout_grads():
+    """VJP == autodiff of the same-mask composition: mask regenerated from
+    the seed, gelu' recomputed from the saved input."""
+    from gavit_tpu.ops.dropout import fused_dropout, fused_gelu_dropout
+
+    y = jax.random.normal(jax.random.key(7), (2, 8, 16))
+    seed = jnp.asarray([13], jnp.int32)
+    g = jax.random.normal(jax.random.key(8), y.shape)
+
+    _, vjp = jax.vjp(lambda y: fused_gelu_dropout(y, seed, 0.25), y)
+    (dy,) = vjp(g)
+
+    def composed(y):
+        return fused_dropout(jax.nn.gelu(y, approximate=False), seed, 0.25)
+
+    _, vjp_ref = jax.vjp(composed, y)
+    (dy_ref,) = vjp_ref(g)
+    np.testing.assert_allclose(np.asarray(dy), np.asarray(dy_ref),
+                               rtol=1e-4, atol=1e-6)
