@@ -520,17 +520,157 @@ def _fqkv5_bwd(scale, qkv5, g):
 _fused_qkv5.defvjp(_fqkv5_fwd, _fqkv5_bwd)
 
 
+def _fwd_kernel_v4(qkv_ref, o_ref, *, scale: float, heads: int, d: int):
+    # qkv_ref block: [1, N, 3·H·d] — the qkv GEMM's raw output row. Heads
+    # are carved out as static 64-lane slices IN VMEM, so the
+    # [B,N,3,H,d]→[B,3,H,N,d] relayout never exists in HBM (profiled at
+    # ≈20 ms/step fwd+bwd at ViT-B b128 — the single largest non-GEMM cost).
+    prec = _prec(qkv_ref.dtype)
+    x = qkv_ref[0]
+    for h in range(heads):
+        q = x[:, h * d:(h + 1) * d]
+        k = x[:, (heads + h) * d:(heads + h + 1) * d]
+        v = x[:, (2 * heads + h) * d:(2 * heads + h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p * pl.reciprocal(l, approx=False)
+        o_ref[0, h] = jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+            precision=prec,
+        ).astype(o_ref.dtype)
+
+
+def _bwd_kernel_v4(qkv_ref, do_ref, dqkv_ref, *, scale: float, heads: int,
+                   d: int):
+    prec = _prec(qkv_ref.dtype)
+    x = qkv_ref[0]
+    for h in range(heads):
+        q = x[:, h * d:(h + 1) * d]
+        k = x[:, (heads + h) * d:(heads + h + 1) * d]
+        v = x[:, (2 * heads + h) * d:(2 * heads + h + 1) * d]
+        do = do_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p * pl.reciprocal(l, approx=False)
+        dv = jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32, precision=prec)
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dqkv_ref[0, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, (heads + h) * d:(heads + h + 1) * d] = (
+            dk.astype(dqkv_ref.dtype))
+        dqkv_ref[0, :, (2 * heads + h) * d:(2 * heads + h + 1) * d] = (
+            dv.astype(dqkv_ref.dtype))
+
+
+def _flat_spec(n, f):
+    return pl.BlockSpec((1, n, f), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _v4_fits(b, h, n, d, itemsize) -> bool:
+    """Both v4 programs (fwd and bwd) must fit the scoped-VMEM budget with
+    the full [N, 3·H·d] row resident (the row cannot be head-chunked — q/k/v
+    lanes interleave across the whole row)."""
+    row = n * 3 * h * d * itemsize
+    out = h * n * d * itemsize
+    fwd = 2 * (row + out) + 2 * n * n * 4
+    bwd = 2 * (row + out + row) + 5 * n * n * 4
+    return max(fwd, bwd) <= _VMEM_BUDGET
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _fused_qkv_flat(qkv3, scale, heads, d):
+    """[B, N, 3·H·d] (raw qkv GEMM output) → [B, H, N, d]."""
+    return _run_fwd_v4(qkv3, scale, heads, d)
+
+
+def _run_fwd_v4(qkv3, scale, heads, d):
+    b, n, f = qkv3.shape
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_v4, scale=scale, heads=heads, d=d),
+        grid=(b,),
+        in_specs=[_flat_spec(n, f)],
+        out_specs=pl.BlockSpec((1, heads, n, d), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, heads, n, d), qkv3.dtype),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * n * n * d,
+            bytes_accessed=4 * b * heads * n * d * qkv3.dtype.itemsize,
+            transcendentals=b * heads * n * n,
+        ),
+    )(qkv3)
+
+
+def _fqkv_flat_fwd(qkv3, scale, heads, d):
+    return _run_fwd_v4(qkv3, scale, heads, d), qkv3
+
+
+def _fqkv_flat_bwd(scale, heads, d, qkv3, g):
+    b, n, f = qkv3.shape
+    dqkv3 = pl.pallas_call(
+        functools.partial(_bwd_kernel_v4, scale=scale, heads=heads, d=d),
+        grid=(b,),
+        in_specs=[
+            _flat_spec(n, f),
+            pl.BlockSpec((1, heads, n, d), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=_flat_spec(n, f),
+        out_shape=jax.ShapeDtypeStruct((b, n, f), qkv3.dtype),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=11 * b * heads * n * n * d,
+            bytes_accessed=7 * b * heads * n * d * qkv3.dtype.itemsize,
+            transcendentals=b * heads * n * n,
+        ),
+    )(qkv3, g)
+    return (dqkv3,)
+
+
+_fused_qkv_flat.defvjp(_fqkv_flat_fwd, _fqkv_flat_bwd)
+
+
 def fused_qkv_attention(qkv, scale, merge_heads: bool = True):
     """MHSA on the packed projection: [B, N, 3, H, d] → [B, N, H, d]
     (or raw [B, H, N, d] with ``merge_heads=False`` — the caller's output
     projection can contract (h, d) directly and skip the relayout).
 
-    One fused transpose in ([B,N,3,H,d]→[B,3,H,N,d]) — cheaper than
-    per-plane slice+transpose (profiled: the three Q/K/V slice relayouts
-    cost ≈2 ms/block at ViT-B b128).
+    Preferred path (v4): the kernel consumes the qkv GEMM's raw
+    [B, N, 3·H·d] rows and carves per-head q/k/v as static lane slices in
+    VMEM — no host-side relayout at all (the v3 fused transpose + its
+    backward inverse profiled at ≈20 ms/step at ViT-B b128). Falls back to
+    the v3 transposed layout when the full row doesn't fit the scoped-VMEM
+    budget (384px backward).
     """
-    qkv5 = qkv.transpose(0, 2, 3, 1, 4)  # [B, 3, H, N, d]
-    out = _fused_qkv5(qkv5, scale)  # [B, H, N, d]
+    b, n, three, h, d = qkv.shape
+    if _v4_fits(b, h, n, d, qkv.dtype.itemsize):
+        out = _fused_qkv_flat(qkv.reshape(b, n, 3 * h * d), scale, h, d)
+    else:
+        qkv5 = qkv.transpose(0, 2, 3, 1, 4)  # [B, 3, H, N, d]
+        out = _fused_qkv5(qkv5, scale)  # [B, H, N, d]
     if merge_heads:
         return out.transpose(0, 2, 1, 3)
     return out

@@ -57,3 +57,43 @@ def test_bf16_path():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
     )
+
+
+def test_v4_flat_and_v3_transposed_agree():
+    """Both kernel layouts (v4 lane-sliced flat rows; v3 transposed
+    [B,3,H,N,d]) must produce identical attention — v4 is the default at
+    224px, v3 the large-N fallback, and the dispatcher switches on a VMEM
+    estimate (``_v4_fits``)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gavit_tpu.ops.attention import _fused_qkv5, _fused_qkv_flat
+
+    b, n, h, d = 2, 13, 4, 8
+    qkv = jax.random.normal(jax.random.key(0), (b, n, 3, h, d))
+    scale = d ** -0.5
+    out_flat = _fused_qkv_flat(qkv.reshape(b, n, 3 * h * d), scale, h, d)
+    out_v3 = _fused_qkv5(qkv.transpose(0, 2, 3, 1, 4), scale)
+    np.testing.assert_allclose(np.asarray(out_flat), np.asarray(out_v3),
+                               atol=1e-6)
+
+    def loss_flat(x):
+        return jnp.sum(_fused_qkv_flat(x.reshape(b, n, 3 * h * d),
+                                       scale, h, d) ** 2)
+
+    def loss_v3(x):
+        return jnp.sum(_fused_qkv5(x.transpose(0, 2, 3, 1, 4), scale) ** 2)
+
+    g_flat = jax.grad(loss_flat)(qkv)
+    g_v3 = jax.grad(loss_v3)(qkv)
+    np.testing.assert_allclose(np.asarray(g_flat), np.asarray(g_v3),
+                               atol=1e-5)
+
+
+def test_v4_fits_dispatch_boundary():
+    """224px ViT-B fits the flat-row kernel; 384px backward must not."""
+    from gavit_tpu.ops.attention import _v4_fits
+
+    assert _v4_fits(128, 12, 197, 64, 2)        # ViT-B/16 @224, bf16
+    assert not _v4_fits(16, 12, 577, 64, 2)     # ViT-B/16 @384 backward
