@@ -52,3 +52,37 @@ def shard_model_params(params, mesh: Mesh):
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
+
+
+def train_state_shardings(mesh: Mesh, tx, state):
+    """NamedSharding pytree for a full TrainState under tensor parallelism.
+
+    ``state.params`` is the Trainer's two-group tree ``{'model': ...,
+    'criterion': ...}``: the model group gets the Megatron specs above, the
+    criterion λs (and the step counter) stay replicated. The optimizer-state
+    shardings are not spelled out by hand — ``tx.init`` is run once under
+    ``jit`` on TP-sharded params and GSPMD's propagation gives every moment
+    buffer its param's sharding (scalars like the schedule count come back
+    replicated). That keeps this function correct for any optax chain.
+    """
+    repl = NamedSharding(mesh, P())
+    is_spec = lambda s: isinstance(s, P)
+    param_specs = {
+        "model": model_param_specs(state.params["model"]),
+        "criterion": jax.tree.map(lambda _: P(), state.params["criterion"]),
+    }
+    param_sh = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), param_specs, is_leaf=is_spec
+    )
+    sharded_params = jax.jit(lambda p: p, out_shardings=param_sh)(state.params)
+    ref_opt = jax.jit(tx.init)(sharded_params)
+
+    def norm(x):
+        # input-independent leaves (schedule counts, zeros) come back with a
+        # single-device default sharding — those are replicated state
+        s = x.sharding
+        ok = isinstance(s, NamedSharding) and s.mesh.shape == mesh.shape
+        return s if ok else repl
+
+    opt_sh = jax.tree.map(norm, ref_opt)
+    return type(state)(step=repl, params=param_sh, opt_state=opt_sh)

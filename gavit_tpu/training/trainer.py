@@ -110,9 +110,17 @@ class Trainer:
         # donation would then delete out from under the caller). jit (not
         # device_put) so multi-process runs can build the replicated global
         # arrays — device_put rejects non-addressable shardings.
-        copy_in = jax.jit(
-            lambda s: s, out_shardings=replicated_sharding(self.mesh)
-        )
+        if self.mesh.shape.get("model", 1) > 1:
+            # tensor parallel is a config change (SURVEY §2.6): params and
+            # optimizer moments carry Megatron partition specs over 'model'
+            from gavit_tpu.parallel.tp import train_state_shardings
+
+            self._state_sharding = train_state_shardings(
+                self.mesh, self.tx, state
+            )
+        else:
+            self._state_sharding = replicated_sharding(self.mesh)
+        copy_in = jax.jit(lambda s: s, out_shardings=self._state_sharding)
         self.state = copy_in(state)
         self.base_rng = jax.jit(
             lambda: jax.random.key(tr.seed, impl=tr.prng_impl),
@@ -461,7 +469,7 @@ class Trainer:
         # jit (not device_put): multi-process restores need non-addressable
         # replicated global arrays
         self.state = jax.jit(
-            lambda s: s, out_shardings=replicated_sharding(self.mesh)
+            lambda s: s, out_shardings=self._state_sharding
         )(TrainState(
             step=state["step"],
             params=state["params"],

@@ -108,7 +108,16 @@ def create_datasets(config, synthetic: bool):
 
 
 def create_model(config, rng):
-    model = build_model(config.model, precision=config.training.precision)
+    # under tensor parallelism the hidden dim is sharded over 'model'; the
+    # Pallas kernels are opaque to GSPMD, so TP runs take the XLA impls
+    # (gavit_tpu/parallel/tp.py docstring) — DP keeps the fused kernels
+    impl = (
+        {"attn_impl": "xla", "graph_impl": "xla"}
+        if config.mesh.model > 1 else {}
+    )
+    model = build_model(
+        config.model, precision=config.training.precision, **impl
+    )
     params = init_params(model, rng)
     if config.model.pretrained_path and os.path.exists(config.model.pretrained_path):
         params = load_mae_weights(

@@ -76,3 +76,71 @@ def test_tp_gradients_match():
         np.asarray(g_ref["blocks_0"]["mlp"]["fc1"]["kernel"]),
         atol=2e-4,
     )
+
+
+def test_tp_training_step_matches_dp(tmp_path):
+    """TP is a *training* config change, not just a forward one: a full
+    Trainer step (aug + fwd + loss + bwd + AdamW) on a (data=4, model=2)
+    mesh must reproduce the dp-only update, with params and adam moments
+    actually living column/row-sharded over 'model'."""
+    from gavit_tpu.config import from_dict
+    from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
+    from gavit_tpu.parallel.mesh import shard_batch
+    from gavit_tpu.training import Trainer
+
+    def make(mesh_cfg, impl):
+        cfg = from_dict({
+            "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                      "embed_dim": 32, "depth": 2, "num_heads": 2,
+                      "num_classes": 14, "drop_rate": 0.0,
+                      "graph": {"enabled": True, "num_blocks": 1,
+                                "adjacency": "knn", "k": 2}},
+            "data": {"batch_size": 16, "image_size": 16},
+            "training": {"epochs": 1, "warmup_epochs": 1, "precision": "fp32"},
+            "mesh": mesh_cfg,
+            "paths": {"save_dir": str(tmp_path / "ckpt"),
+                      "log_dir": str(tmp_path / "logs")},
+        })
+        model = build_model(cfg.model, precision="fp32", **impl)
+        params = init_params(model, jax.random.key(0))
+        ds = SyntheticChestXrayDataset(size=16, image_size=16, seed=0)
+        loader = DataLoader(ds, 16, num_workers=0)
+        return cfg, Trainer(model, params, loader, loader, cfg)
+
+    images, labels = next(iter(DataLoader(
+        SyntheticChestXrayDataset(size=16, image_size=16, seed=0), 16,
+        num_workers=0,
+    )))
+
+    results = {}
+    for name, mesh_cfg, impl in [
+        ("dp", {"data": 8, "model": 1}, {}),
+        ("tp", {"data": 4, "model": 2},
+         {"attn_impl": "xla", "graph_impl": "xla"}),
+    ]:
+        cfg, tr = make(mesh_cfg, impl)
+        batch = shard_batch(tr.mesh, (images, labels))
+        state, metrics, _ = tr._train_step(tr.state, tr.base_rng, *batch)
+        results[name] = (state, float(metrics["loss"]))
+
+    tp_state, tp_loss = results["tp"]
+    dp_state, dp_loss = results["dp"]
+    np.testing.assert_allclose(tp_loss, dp_loss, atol=1e-5)
+
+    qkv = tp_state.params["model"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert "model" in str(qkv.sharding.spec)
+    assert qkv.addressable_shards[0].data.shape[1] == qkv.shape[1] // 2
+    # adam moments inherited the param shardings via GSPMD propagation
+    mu = jax.tree.leaves(jax.tree.map(
+        lambda x: x.sharding, tp_state.opt_state, is_leaf=lambda x: hasattr(x, "sharding")
+    ))
+    assert any("model" in str(s.spec) for s in mu)
+
+    for key in (("blocks_0", "attn", "qkv", "kernel"),
+                ("blocks_0", "mlp", "fc2", "kernel"),
+                ("head", "kernel")):
+        a = tp_state.params["model"]
+        b = dp_state.params["model"]
+        for k in key:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
