@@ -247,6 +247,9 @@ _fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 def attention_pallas(q, k, v, scale):
     """Fused MHSA: [B, H, N, d] → [B, H, N, d]."""
+    n, d = q.shape[-2], q.shape[-1]
+    if not _v3_fits(n, d, q.dtype.itemsize):
+        return flash_attention_large(q, k, v, scale)
     return _fused_attention(q, k, v, scale)
 
 
@@ -668,12 +671,315 @@ def fused_qkv_attention(qkv, scale, merge_heads: bool = True):
     b, n, three, h, d = qkv.shape
     if _v4_fits(b, h, n, d, qkv.dtype.itemsize):
         out = _fused_qkv_flat(qkv.reshape(b, n, 3 * h * d), scale, h, d)
-    else:
+    elif _v3_fits(n, d, qkv.dtype.itemsize):
         qkv5 = qkv.transpose(0, 2, 3, 1, 4)  # [B, 3, H, N, d]
         out = _fused_qkv5(qkv5, scale)  # [B, H, N, d]
+    else:
+        # exact full-[N,N] kernels no longer fit VMEM — blockwise flash
+        qkv5 = qkv.transpose(2, 0, 3, 1, 4)  # [3, B, H, N, d]
+        out = flash_attention_large(qkv5[0], qkv5[1], qkv5[2], scale)
     if merge_heads:
         return out.transpose(0, 2, 1, 3)
     return out
+
+
+# ---------------------------------------------------------------------------
+# pallas fused path v5: KV-blockwise flash attention for large N
+# ---------------------------------------------------------------------------
+#
+# The v2/v3/v4 kernels hold full fp32 [N, N] score intermediates per head:
+# exact at this model family's sequence lengths (N=197/577) and measured
+# faster than blockwise at those sizes (the saved-LSE flash backward lost
+# 0.37 ms/step at N=197 — BASELINE.md), but the VMEM estimate walks off the
+# 16 MB cliff near N≈800 even at one head per program. v5 is the
+# asymptotic path: an online-softmax forward that saves the LSE, and a
+# two-kernel backward (dq accumulated over KV blocks; dk/dv accumulated over
+# Q blocks) whose VMEM footprint is O(block²) regardless of N. Dispatchers
+# switch to it automatically when the exact kernels stop fitting.
+
+_V5_BLOCK = 256
+_V5_LANES = 128  # m/l/lse carried 128-wide (Mosaic minor-dim tile)
+
+
+def _v5_mask_cols(s, j, bk, n_valid):
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
+    return jnp.where(col < n_valid, s, _NEG_INF)
+
+
+def _fwd_kernel_v5(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                   *, scale: float, n_valid: int):
+    j = pl.program_id(2)
+    bk = k_ref.shape[1]
+    d = q_ref.shape[2]
+    prec = _prec(q_ref.dtype)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, _NEG_INF, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * scale
+    s = _v5_mask_cols(s, j, bk, n_valid)
+
+    m_prev = m_scr[...]                                   # [bq, 128]
+    l_prev = l_scr[...]
+    m_curr = jnp.max(s, axis=1, keepdims=True)            # [bq, 1]
+    m_next = jnp.maximum(m_prev, m_curr)                  # [bq, 128]
+    p = jnp.exp(s - jnp.tile(m_next, (1, bk // _V5_LANES)))
+    alpha = jnp.exp(m_prev - m_next)                      # [bq, 128]
+    l_corr = alpha * l_prev
+    l_next = jnp.sum(p, axis=1, keepdims=True) + l_corr   # [bq, 128]
+    m_scr[...] = m_next
+    l_scr[...] = l_next
+    l_inv = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
+    bcast = (lambda x: x[:, :d]) if d < _V5_LANES else (
+        lambda x: jnp.tile(x, (1, d // _V5_LANES)))
+    acc_scr[...] *= bcast(l_corr * l_inv)
+    v = v_ref[0]
+    acc_scr[...] += jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+        precision=prec,
+    ) * bcast(l_inv)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _store():
+        o_ref[0] = acc_scr[...].astype(o_ref.dtype)
+        lse_ref[0] = m_scr[...] + jnp.log(
+            jnp.where(l_scr[...] == 0.0, 1.0, l_scr[...])
+        )
+
+
+def _dq_kernel_v5(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                  dq_scr, *, scale: float, n_valid: int):
+    j = pl.program_id(2)
+    bk = k_ref.shape[1]
+    prec = _prec(q_ref.dtype)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * scale
+    s = _v5_mask_cols(s, j, bk, n_valid)
+    # lse-normalised probabilities: exp(s - lse) = exp(s - m)/l; lse/delta
+    # arrive 128-wide (all lanes equal) and are tiled to the block width
+    rep = bk // _V5_LANES
+    p = jnp.exp(s - jnp.tile(lse_ref[0], (1, rep)))
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    ds = (p * (dp - jnp.tile(delta_ref[0], (1, rep))) * scale).astype(q.dtype)
+    dq_scr[...] += jax.lax.dot(
+        ds, k, preferred_element_type=jnp.float32, precision=prec
+    )
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _store():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel_v5(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dk_ref, dv_ref, dk_scr, dv_scr, *, scale: float,
+                   n_valid: int):
+    j = pl.program_id(1)  # kv block (parallel)
+    i = pl.program_id(2)  # q block (arbitrary, accumulated)
+    bq = q_ref.shape[1]
+    bk = k_ref.shape[1]
+    prec = _prec(q_ref.dtype)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
+        dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) * scale
+    s = _v5_mask_cols(s, j, bk, n_valid)
+    rep = bk // _V5_LANES
+    p = jnp.exp(s - jnp.tile(lse_ref[0], (1, rep)))
+    # padded query rows carry garbage lse — zero their probability rows so
+    # dk/dv stay exact (mirrors the v1 kernel's row masking)
+    row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0) + i * bq
+    p = jnp.where(row < n_valid, p, 0.0)
+    dv_scr[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    ds = (p * (dp - jnp.tile(delta_ref[0], (1, rep))) * scale).astype(q.dtype)
+    dk_scr[...] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+    @pl.when(i == pl.num_programs(2) - 1)
+    def _store():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _v5_sizes(n: int):
+    block = min(_V5_BLOCK, max(_round_up(n, _V5_LANES), _V5_LANES))
+    n_pad = _round_up(n, block)
+    return block, n_pad
+
+
+def _v5_params():
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary")
+    )
+
+
+def _run_fwd_v5(q, k, v, scale):
+    b, h, n, d = q.shape
+    blk, n_pad = _v5_sizes(n)
+    nq = nk = n_pad // blk
+    qf = _pad_tokens(q, n_pad).reshape(b * h, n_pad, d)
+    kf = _pad_tokens(k, n_pad).reshape(b * h, n_pad, d)
+    vf = _pad_tokens(v, n_pad).reshape(b * h, n_pad, d)
+    qspec = pl.BlockSpec((1, blk, d), lambda b_, i, j: (b_, i, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, blk, d), lambda b_, i, j: (b_, j, 0),
+                         memory_space=pltpu.VMEM)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_v5, scale=scale, n_valid=n),
+        grid=(b * h, nq, nk),
+        in_specs=[qspec, kspec, kspec],
+        out_specs=[
+            qspec,
+            pl.BlockSpec((1, blk, _V5_LANES), lambda b_, i, j: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n_pad, _V5_LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((blk, _V5_LANES), jnp.float32),
+            pltpu.VMEM((blk, _V5_LANES), jnp.float32),
+            pltpu.VMEM((blk, d), jnp.float32),
+        ],
+        compiler_params=_v5_params(),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n_pad * n_pad * d,
+            bytes_accessed=4 * b * h * n_pad * d * q.dtype.itemsize,
+            transcendentals=b * h * n_pad * n_pad,
+        ),
+    )(qf, kf, vf)
+    return o.reshape(b, h, n_pad, d)[:, :, :n, :], lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_large(q, k, v, scale):
+    """KV-blockwise MHSA over [B, H, N, d] — the N-scalable path."""
+    return _run_fwd_v5(q, k, v, scale)[0]
+
+
+def _fa5_fwd(q, k, v, scale):
+    o, lse = _run_fwd_v5(q, k, v, scale)
+    return o, (q, k, v, o, lse)
+
+
+def _fa5_bwd(scale, res, g):
+    q, k, v, o, lse = res
+    b, h, n, d = q.shape
+    blk, n_pad = _v5_sizes(n)
+    nq = nk = n_pad // blk
+    qf = _pad_tokens(q, n_pad).reshape(b * h, n_pad, d)
+    kf = _pad_tokens(k, n_pad).reshape(b * h, n_pad, d)
+    vf = _pad_tokens(v, n_pad).reshape(b * h, n_pad, d)
+    gf = _pad_tokens(g, n_pad).reshape(b * h, n_pad, d)
+    # delta = rowsum(do ⊙ o): one cheap fused XLA pass, fed 128-wide like lse
+    delta = jnp.sum(
+        g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    delta = _pad_tokens(delta, n_pad).reshape(b * h, n_pad, 1)
+    delta = jnp.broadcast_to(delta, (b * h, n_pad, _V5_LANES))
+
+    dspec = pl.BlockSpec((1, blk, d), lambda b_, i, j: (b_, i, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, blk, d), lambda b_, i, j: (b_, j, 0),
+                          memory_space=pltpu.VMEM)
+    lm_q = pl.BlockSpec((1, blk, _V5_LANES), lambda b_, i, j: (b_, i, 0),
+                        memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel_v5, scale=scale, n_valid=n),
+        grid=(b * h, nq, nk),
+        in_specs=[dspec, kvspec, kvspec, dspec, lm_q, lm_q],
+        out_specs=dspec,
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((blk, d), jnp.float32)],
+        compiler_params=_v5_params(),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * b * h * n_pad * n_pad * d,
+            bytes_accessed=5 * b * h * n_pad * d * q.dtype.itemsize,
+            transcendentals=b * h * n_pad * n_pad,
+        ),
+    )(qf, kf, vf, gf, lse, delta)
+
+    # dk/dv: kv blocks parallel, q blocks accumulated (innermost)
+    q_in = pl.BlockSpec((1, blk, d), lambda b_, j, i: (b_, i, 0),
+                        memory_space=pltpu.VMEM)
+    kv_in = pl.BlockSpec((1, blk, d), lambda b_, j, i: (b_, j, 0),
+                         memory_space=pltpu.VMEM)
+    lm_in = pl.BlockSpec((1, blk, _V5_LANES), lambda b_, j, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel_v5, scale=scale, n_valid=n),
+        grid=(b * h, nk, nq),
+        in_specs=[q_in, kv_in, kv_in, q_in, lm_in, lm_in],
+        out_specs=[kv_in, kv_in],
+        out_shape=[jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype)
+                   for _ in range(2)],
+        scratch_shapes=[pltpu.VMEM((blk, d), jnp.float32),
+                        pltpu.VMEM((blk, d), jnp.float32)],
+        compiler_params=_v5_params(),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * n_pad * n_pad * d,
+            bytes_accessed=5 * b * h * n_pad * d * q.dtype.itemsize,
+            transcendentals=b * h * n_pad * n_pad,
+        ),
+    )(qf, kf, vf, gf, lse, delta)
+
+    def unpad(x):
+        return x.reshape(b, h, n_pad, d)[:, :, :n, :]
+
+    return unpad(dq), unpad(dk), unpad(dv)
+
+
+flash_attention_large.defvjp(_fa5_fwd, _fa5_bwd)
+
+
+def _v3_fits(n: int, d: int, itemsize: int) -> bool:
+    """True if the exact (full-[N,N]-scores) backward fits scoped VMEM at
+    one head per program — past this, only the blockwise v5 path works."""
+    return 2 * 7 * n * d * itemsize + 5 * n * n * 4 <= _VMEM_BUDGET
 
 
 # ---------------------------------------------------------------------------

@@ -1,5 +1,7 @@
 """Fused Pallas attention vs the XLA reference path (fwd + grads)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -80,3 +82,63 @@ def test_jit_and_vmap_compatible():
     f = jax.jit(lambda q, k, v: attention_pallas(q, k, v, 0.1))
     out = f(q, k, v)
     assert out.shape == q.shape
+
+
+# ---------------------------------------------------------------------------
+# v5: KV-blockwise flash path for large N
+# ---------------------------------------------------------------------------
+
+
+def test_v5_forward_matches_reference():
+    """Blockwise online-softmax forward == reference, including a masked
+    ragged tail block (N=300 pads to 512: two 256-blocks, 212 masked cols)."""
+    from gavit_tpu.ops.attention import flash_attention_large
+
+    b, h, n, d = 1, 2, 300, 32
+    ks = jax.random.split(jax.random.key(0), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, n, d)) for kk in ks)
+    scale = d ** -0.5
+    ref = attention_reference(q, k, v, scale)
+    out = flash_attention_large(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_v5_gradients_match_reference():
+    from gavit_tpu.ops.attention import flash_attention_large
+
+    b, h, n, d = 1, 2, 300, 32
+    ks = jax.random.split(jax.random.key(1), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, n, d)) for kk in ks)
+    scale = d ** -0.5
+
+    def loss(fn, q, k, v):
+        return jnp.sum(fn(q, k, v, scale) ** 2)
+
+    g_ref = jax.grad(functools.partial(loss, attention_reference),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_v5 = jax.grad(functools.partial(loss, flash_attention_large),
+                    argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_v5, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
+
+
+def test_v5_dispatch_boundary():
+    """Exact kernels cover the model family (N=197/577); past the VMEM cliff
+    the dispatchers must hand off to the blockwise path."""
+    from gavit_tpu.ops.attention import _v3_fits
+
+    assert _v3_fits(577, 64, 2)        # 384px bf16: exact v3 still fits
+    assert not _v3_fits(1025, 64, 2)   # 512px would not — v5 territory
+
+
+def test_v5_block_multiple_n():
+    """N an exact block multiple (no padding, single masking branch)."""
+    from gavit_tpu.ops.attention import flash_attention_large
+
+    b, h, n, d = 2, 1, 256, 64
+    ks = jax.random.split(jax.random.key(2), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, n, d)) for kk in ks)
+    scale = d ** -0.5
+    ref = attention_reference(q, k, v, scale)
+    out = flash_attention_large(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
