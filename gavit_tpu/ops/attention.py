@@ -20,9 +20,15 @@ Interchangeable paths (selected by ``impl``):
   host-side pad/slice around padded kernels cost more than they saved
   (BASELINE.md).
 
-The v1 per-(batch·head) padded kernel (``attention_pallas``) is kept for the
-[B, H, N, d] dispatcher API and as a second implementation the tests
-cross-check.
+Kernel generations on the pallas path (each measured; see BASELINE.md):
+v1 per-(batch·head) padded programs — kept for the [B,H,N,d] dispatcher API
+and as a cross-check implementation; v2 per-image unpadded programs; v3
+packed-QKV single-transpose layout; **v4** (default at 224px) consumes the
+raw ``[B, N, 3·H·d]`` qkv-GEMM rows and carves per-head q/k/v as static lane
+slices in VMEM, so the QKV relayout never exists in HBM; **v5**
+(:func:`flash_attention_large`) is the KV-blockwise online-softmax path with
+O(block²) VMEM for sequence lengths past the exact kernels' VMEM cliff
+(N ≈ 800) — dispatchers switch automatically.
 """
 
 from __future__ import annotations
