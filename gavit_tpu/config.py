@@ -233,6 +233,10 @@ class TrainingConfig:
     # logging/metric granularity stays per-step, checkpoints land on
     # chunk boundaries.
     steps_per_call: int = 1
+    # micro-batches accumulated into ONE optimizer update (activation memory
+    # scales with batch_size/grad_accum_steps — reference-scale global
+    # batches on few chips). batch_size must be divisible by it.
+    grad_accum_steps: int = 1
     criterion_lr_scale: float = 0.1  # reference trainer.py:50 (0.1 x lr)
     # torch AdamW (and the reference) decays EVERY parameter; setting this
     # False masks LayerNorm scales/biases and the cls/pos embeddings from

@@ -149,15 +149,9 @@ class Trainer:
     def _build_train_step(self, use_affine: bool):
         model, tx, pos_weight = self.model, self.tx, self.pos_weight
         log_grad_norm = self.config.training.log_grad_norm
+        accum = max(1, self.config.training.grad_accum_steps)
 
-        def step_body(state: TrainState, rng, images, labels):
-            step_rng = jax.random.fold_in(rng, state.step)
-            k_aug, k_drop = jax.random.split(step_rng)
-            if images.dtype == jnp.uint8:
-                x = train_preprocess(images, k_aug, use_affine=use_affine)
-            else:
-                x = images
-
+        def grad_fn(params, x, labels, k_drop):
             def loss_fn(params):
                 logits = model.apply(
                     {"params": params["model"]},
@@ -170,9 +164,56 @@ class Trainer:
                 )
                 return total, (logits, comps)
 
-            (loss, (logits, comps)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
+            return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        def step_body(state: TrainState, rng, images, labels):
+            step_rng = jax.random.fold_in(rng, state.step)
+            k_aug, k_drop = jax.random.split(step_rng)
+            if images.dtype == jnp.uint8:
+                x = train_preprocess(images, k_aug, use_affine=use_affine)
+            else:
+                x = images
+
+            if accum == 1:
+                (loss, (logits, comps)), grads = grad_fn(
+                    state.params, x, labels, k_drop
+                )
+            else:
+                # gradient accumulation: one optimizer update from `accum`
+                # sequential micro-batches — activation memory scales with
+                # the micro-batch, enabling reference-scale global batches
+                # (BASELINE.json configs[4]: 1024) on few chips. lax.scan
+                # keeps a single compiled body; grads are averaged, which
+                # equals the full-batch mean-loss gradient for equal splits.
+                b = x.shape[0]
+                if b % accum:
+                    raise ValueError(
+                        f"batch size {b} not divisible by "
+                        f"grad_accum_steps={accum}"
+                    )
+                mb = b // accum
+                xm = x.reshape(accum, mb, *x.shape[1:])
+                lm = labels.reshape(accum, mb, labels.shape[-1])
+                keys = jax.random.split(k_drop, accum)
+
+                def body(g_acc, inp):
+                    x_i, l_i, key_i = inp
+                    (loss_i, (logits_i, comps_i)), g_i = grad_fn(
+                        state.params, x_i, l_i, key_i
+                    )
+                    g_acc = jax.tree.map(jnp.add, g_acc, g_i)
+                    return g_acc, (loss_i, logits_i, comps_i)
+
+                zeros = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, p.dtype), state.params
+                )
+                grads, (loss_m, logits_m, comps_m) = jax.lax.scan(
+                    body, zeros, (xm, lm, keys)
+                )
+                grads = jax.tree.map(lambda g: g / accum, grads)
+                loss = jnp.mean(loss_m)
+                comps = jax.tree.map(jnp.mean, comps_m)
+                logits = logits_m.reshape(b, -1)
             updates, new_opt_state = tx.update(
                 grads, state.opt_state, state.params
             )

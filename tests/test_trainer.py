@@ -215,3 +215,74 @@ def test_restore_patience_and_best_epoch(tmp_path):
     trainer2.restore_checkpoint(path)
     assert trainer2.patience_counter == 3
     assert trainer2.best_epoch == 7
+
+
+def test_grad_accum_matches_full_batch(tmp_path):
+    """grad_accum_steps=2 must produce the same optimizer update as the
+    full-batch step (drop_rate=0 so micro-batch RNG streams don't enter)."""
+    from gavit_tpu.parallel.mesh import shard_batch
+
+    def make(accum):
+        cfg = from_dict({
+            "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                      "embed_dim": 32, "depth": 2, "num_heads": 2,
+                      "num_classes": 14, "drop_rate": 0.0,
+                      "graph": {"enabled": True, "num_blocks": 1,
+                                "adjacency": "knn", "k": 2}},
+            "data": {"batch_size": 16, "image_size": 16},
+            "training": {"epochs": 1, "warmup_epochs": 1, "precision": "fp32",
+                         "grad_accum_steps": accum},
+            "paths": {"save_dir": str(tmp_path / "ckpt"),
+                      "log_dir": str(tmp_path / "logs")},
+        })
+        model = build_model(cfg.model, precision="fp32")
+        params = init_params(model, jax.random.key(0))
+        ds = SyntheticChestXrayDataset(size=16, image_size=16, seed=0)
+        loader = DataLoader(ds, 16, num_workers=0)
+        return Trainer(model, params, loader, loader, cfg)
+
+    images, labels = next(iter(DataLoader(
+        SyntheticChestXrayDataset(size=16, image_size=16, seed=0), 16,
+        num_workers=0,
+    )))
+
+    out = {}
+    for accum in (1, 2, 4):
+        tr = make(accum)
+        batch = shard_batch(tr.mesh, (images, labels))
+        state, metrics, preds = tr._train_step(tr.state, tr.base_rng, *batch)
+        out[accum] = (state, float(metrics["loss"]), np.asarray(preds))
+
+    s1, loss1, p1 = out[1]
+    for accum in (2, 4):
+        sa, lossa, pa = out[accum]
+        np.testing.assert_allclose(lossa, loss1, atol=1e-6)
+        np.testing.assert_allclose(pa, p1, atol=1e-5)
+        a = jax.tree.leaves(sa.params["model"])
+        b = jax.tree.leaves(s1.params["model"])
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=5e-6)
+
+
+def test_grad_accum_rejects_indivisible(tmp_path):
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 1, "num_heads": 2,
+                  "num_classes": 14, "drop_rate": 0.0,
+                  "graph": {"enabled": False}},
+        "data": {"batch_size": 6, "image_size": 16},
+        "training": {"epochs": 1, "warmup_epochs": 1, "precision": "fp32",
+                     "grad_accum_steps": 4},
+        "paths": {"save_dir": str(tmp_path / "c"),
+                  "log_dir": str(tmp_path / "l")},
+    })
+    model = build_model(cfg.model, precision="fp32")
+    params = init_params(model, jax.random.key(0))
+    ds = SyntheticChestXrayDataset(size=6, image_size=16, seed=0)
+    loader = DataLoader(ds, 6, num_workers=0)
+    tr = Trainer(model, params, loader, loader, cfg)
+    images, labels = next(iter(loader))
+    with pytest.raises(ValueError, match="not divisible"):
+        tr._train_step(tr.state, tr.base_rng,
+                       jax.numpy.asarray(images), jax.numpy.asarray(labels))
