@@ -153,6 +153,33 @@ def main():
     infer_ips_chip = infer_batch / dt_inf / n_chips
     log(f"infer: {dt_inf*1000:.1f} ms/batch → {infer_ips_chip:.0f} img/s/chip")
 
+    # ---- int8 static-PTQ serving throughput ------------------------------
+    # calibrated weight+activation int8 (serving.py): the recommended
+    # high-throughput serving mode (BASELINE.md: +32% over bf16 on v5e)
+    int8_ips_chip = None
+    if on_tpu:
+        from gavit_tpu.serving import calibrate_int8
+
+        qmodel = build_model(cfg.model, precision="int8")
+        quant = jax.device_put(
+            calibrate_int8(qmodel, state.params["model"],
+                           val_preprocess(u8[:8]))
+        )
+        infer_q = jax.jit(lambda v, u: jax.nn.sigmoid(
+            qmodel.apply(v, val_preprocess(u), deterministic=True)
+        ))
+        variables = {"params": state.params["model"], **quant}
+        t0 = time.perf_counter()
+        sync(infer_q(variables, u8))
+        log(f"int8 compile+1st: {time.perf_counter() - t0:.0f}s")
+        t0 = time.perf_counter()
+        for _ in range(n_inf):
+            r = infer_q(variables, u8)
+        sync(r)
+        dt_q = (time.perf_counter() - t0) / n_inf
+        int8_ips_chip = infer_batch / dt_q / n_chips
+        log(f"int8: {dt_q*1000:.1f} ms/batch → {int8_ips_chip:.0f} img/s/chip")
+
     # ---- p50 single-image latency ---------------------------------------
     u1 = jax.device_put(np.zeros((1, img, img, 3), np.uint8))
     sync(infer(state.params["model"], u1))
@@ -170,6 +197,9 @@ def main():
         "unit": "img/s/chip",
         "vs_baseline": round(train_ips_chip / 2000.0, 3),
         "inference_images_per_sec_per_chip": round(infer_ips_chip, 1),
+        "inference_int8_images_per_sec_per_chip": (
+            round(int8_ips_chip, 1) if int8_ips_chip else None
+        ),
         "p50_single_image_ms": round(p50, 2),
         "model": f"{name}+graph2@{img}px",
         "note": ("2000 img/s/chip ViT-B TRAINING exceeds the v5e bf16 "

@@ -5,7 +5,10 @@ Stdlib-only HTTP server wrapping :class:`gavit_tpu.serving.Predictor`
 (bucketed batching, warmup-compiled shapes, device-resident weights):
 
     python scripts/serve.py --config <yaml> --checkpoint <ckpt_dir> \
-        [--host 127.0.0.1] [--port 8476] [--precision bf16]
+        [--host 127.0.0.1] [--port 8476] [--precision bf16|fp32|int8]
+
+  --precision int8 serves the calibrated static-PTQ path (+32% throughput
+  over bf16 on v5e at b64 — BASELINE.md); warmup performs the calibration.
 
 Endpoints:
   GET  /healthz        → {"status": "ok", "model": ...}
@@ -103,7 +106,8 @@ def main():
     p.add_argument("--checkpoint", default="")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8476)
-    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--precision", default="bf16",
+                   choices=["bf16", "fp32", "int8"])
     p.add_argument("--no-warmup", action="store_true")
     args = p.parse_args()
 

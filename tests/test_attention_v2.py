@@ -97,3 +97,62 @@ def test_v4_fits_dispatch_boundary():
 
     assert _v4_fits(128, 12, 197, 64, 2)        # ViT-B/16 @224, bf16
     assert not _v4_fits(16, 12, 577, 64, 2)     # ViT-B/16 @384 backward
+
+
+def test_v4_all_model_scales():
+    """The v4 lane-slice kernel must be exact for every preset head count
+    (ViT-T h=3, S h=6, B h=12, L h=16 — odd head counts hit 64-lane offsets
+    that are not 128-aligned)."""
+    import jax
+    import numpy as np
+
+    from gavit_tpu.ops.attention import _fused_qkv5, _fused_qkv_flat
+
+    d = 8
+    for i, h in enumerate((3, 6, 12, 16)):
+        b, n = 2, 11
+        qkv = jax.random.normal(jax.random.key(i), (b, n, 3, h, d))
+        scale = d ** -0.5
+        out = _fused_qkv_flat(qkv.reshape(b, n, 3 * h * d), scale, h, d)
+        ref = _fused_qkv5(qkv.transpose(0, 2, 3, 1, 4), scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6, err_msg=f"h={h}")
+
+
+def test_model_level_large_n_routes_through_v5():
+    """A 512px model (N=1025) exceeds the exact kernels' VMEM budget — the
+    dispatcher must route to the blockwise path and still match the
+    reference attention end-to-end through the full model fwd+bwd."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gavit_tpu.config import from_dict
+    from gavit_tpu.models.vit import build_model, init_params
+
+    cfg = from_dict({"model": {
+        "name": "custom", "img_size": 512, "patch_size": 16, "embed_dim": 32,
+        "depth": 1, "num_heads": 2, "num_classes": 3, "drop_rate": 0.0,
+        "graph": {"enabled": False},
+    }})
+    x = jax.random.normal(jax.random.key(0), (1, 512, 512, 3))
+
+    outs = {}
+    for impl in ("pallas", "reference"):
+        model = build_model(cfg.model, precision="fp32", attn_impl=impl)
+        params = init_params(model, jax.random.key(1))
+
+        def loss(p):
+            return jnp.sum(
+                model.apply({"params": p}, x, deterministic=True) ** 2
+            )
+
+        val, grads = jax.value_and_grad(loss)(params)
+        outs[impl] = (float(val), grads)
+
+    v5_val, v5_g = outs["pallas"]
+    ref_val, ref_g = outs["reference"]
+    np.testing.assert_allclose(v5_val, ref_val, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(v5_g), jax.tree.leaves(ref_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
+                                   rtol=1e-3)

@@ -66,3 +66,30 @@ def test_predict_labels_and_latency_stats():
 def test_warmup_compiles_buckets():
     p = _predictor(buckets=(1, 2))
     p.warmup()  # should not raise
+
+
+def test_int8_predictor_end_to_end():
+    """The recommended serving mode (--precision int8) must work through the
+    Predictor: calibration builds the static-PTQ collection and predictions
+    stay close to fp32 (dynamic PTQ pre-calibration also functional)."""
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 1, "num_heads": 2,
+                  "num_classes": 14,
+                  "graph": {"enabled": True, "num_blocks": 1,
+                            "adjacency": "knn", "k": 2}},
+        "data": {"image_size": 16},
+    })
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 255, (4, 16, 16, 3), np.uint8)
+
+    ref = Predictor(cfg, buckets=(4,)).predict_proba(imgs)
+
+    q = Predictor(cfg, buckets=(4,), precision="int8")
+    dyn = q.predict_proba(imgs)                # dynamic PTQ path
+    assert dyn.shape == (4, 14)
+    q.calibrate(imgs)                          # switch to static scales
+    stat = q.predict_proba(imgs)
+    assert stat.shape == (4, 14)
+    assert np.all((stat >= 0) & (stat <= 1))
+    assert np.max(np.abs(stat - ref)) < 0.15   # quantisation, not garbage
