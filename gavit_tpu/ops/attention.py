@@ -33,6 +33,7 @@ O(block²) VMEM for sequence lengths past the exact kernels' VMEM cliff
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -996,15 +997,25 @@ def _v3_fits(n: int, d: int, itemsize: int) -> bool:
 def attention_xla(q, k, v, scale):
     """XLA's built-in fused attention (jax.nn.dot_product_attention).
 
-    Kept as a comparison/fallback implementation; expects [B, H, N, d] like
-    the other paths (jax.nn uses [B, N, H, d] internally).
+    The comparison/fallback implementation — and the GSPMD-visible path
+    tensor-parallel runs use; expects [B, H, N, d] like the other paths
+    (jax.nn uses [B, N, H, d] internally). jax.nn exposes no precision knob,
+    and TPU fp32 matmuls default to bf16 passes — measured 1.9e-3 logit
+    error at full ViT-B depth, OVER the 1e-3 parity bar — so fp32 inputs run
+    under a float32 default-matmul-precision scope (the pallas/reference
+    paths do the same per-dot via ``_prec``).
     """
-    out = jax.nn.dot_product_attention(
-        q.transpose(0, 2, 1, 3),
-        k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3),
-        scale=scale,
+    ctx = (
+        jax.default_matmul_precision("float32")
+        if q.dtype == jnp.float32 else contextlib.nullcontext()
     )
+    with ctx:
+        out = jax.nn.dot_product_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            scale=scale,
+        )
     return out.transpose(0, 2, 1, 3)
 
 
