@@ -173,6 +173,11 @@ class ModelConfig:
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    # rematerialise each transformer/graph block in the backward pass
+    # (jax.checkpoint): activation memory drops from O(depth) to O(1) blocks
+    # at ~1/3 extra forward FLOPs — enables batch/resolution combinations
+    # that otherwise OOM HBM (224px b192+, 384px large-batch)
+    remat: bool = False
     graph: GraphConfig = field(default_factory=GraphConfig)
     extra: dict = field(default_factory=dict)
 

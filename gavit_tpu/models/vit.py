@@ -98,14 +98,20 @@ class VisionTransformer(nn.Module):
         captured = []
         adj = None
         g_idx = 0
+        # remat: recompute each block in the backward instead of storing its
+        # activations (static_argnums: deterministic/return_probs are
+        # Python bools; self is argnum 0)
+        BlockCls = (
+            nn.remat(Block, static_argnums=(2, 3)) if cfg.remat else Block
+        )
         for i in range(cfg.depth):
-            x = Block(
+            x = BlockCls(
                 dim=d, num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
                 qkv_bias=cfg.qkv_bias, drop=cfg.drop_rate,
                 attn_drop=cfg.attn_drop_rate, drop_path_rate=dpr[i],
                 dtype=self.dtype, attn_impl=self.attn_impl,
                 quant=self.quant, name=f"blocks_{i}",
-            )(x, deterministic, return_probs=(capture == "attention"))
+            )(x, deterministic, capture == "attention")
             if capture == "attention":
                 x, probs = x
                 captured.append(probs)

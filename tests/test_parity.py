@@ -149,3 +149,42 @@ def test_load_mae_weights_end_to_end(tmp_path):
         {"params": loaded128},
         jnp.zeros((1, 128, 128, 3)), deterministic=True)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_remat_identical_outputs_and_grads():
+    """model.remat=True must change only memory behavior: logits and grads
+    bit-match the non-remat model (same params, same dropout rng)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gavit_tpu.config import from_dict
+    from gavit_tpu.models.vit import build_model, init_params
+
+    outs = {}
+    for remat in (False, True):
+        cfg = from_dict({"model": {
+            "name": "custom", "img_size": 16, "patch_size": 8,
+            "embed_dim": 32, "depth": 2, "num_heads": 2, "num_classes": 14,
+            "drop_rate": 0.1, "remat": remat,
+            "graph": {"enabled": True, "num_blocks": 1,
+                      "adjacency": "knn", "k": 2},
+        }})
+        model = build_model(cfg.model, precision="fp32")
+        params = init_params(model, jax.random.key(0))
+        x = jax.random.normal(jax.random.key(1), (2, 16, 16, 3))
+
+        def loss(p):
+            out = model.apply(
+                {"params": p}, x, deterministic=False,
+                rngs={"dropout": jax.random.key(7)},
+            )
+            return jnp.sum(out ** 2)
+
+        outs[remat] = (float(loss(params)), jax.grad(loss)(params))
+
+    v0, g0 = outs[False]
+    v1, g1 = outs[True]
+    np.testing.assert_allclose(v1, v0, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
