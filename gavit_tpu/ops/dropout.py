@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -190,8 +191,14 @@ def _gelu_grad_f32(x):
     return cdf + x * phi
 
 
+def _gd_seed(seed_ref):
+    # unique stream per (image, token-block); fwd and bwd run the SAME grid
+    # so the regenerated backward mask matches the forward's exactly
+    return seed_ref[0] + pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+
+
 def _gelu_dropout_kernel(seed_ref, x_ref, o_ref, *, rate: float):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    pltpu.prng_seed(_gd_seed(seed_ref))
     x = x_ref[0].astype(jnp.float32)
     bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
     keep = bits >= jnp.uint32(int(rate * 0xFFFFFFFF))
@@ -201,13 +208,22 @@ def _gelu_dropout_kernel(seed_ref, x_ref, o_ref, *, rate: float):
 
 def _gelu_dropout_bwd_kernel(seed_ref, x_ref, g_ref, o_ref, *, rate: float):
     # regenerate the identical mask; dx = mask/keep · gelu'(x) · g
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    pltpu.prng_seed(_gd_seed(seed_ref))
     x = x_ref[0].astype(jnp.float32)
     g = g_ref[0].astype(jnp.float32)
     bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
     keep = bits >= jnp.uint32(int(rate * 0xFFFFFFFF))
     dx = _gelu_grad_f32(x) * g * (1.0 / (1.0 - rate))
     o_ref[0] = jnp.where(keep, dx, 0.0).astype(o_ref.dtype)
+
+
+def _gd_token_block(n: int, f: int) -> int:
+    """Token-dim block bound: the full [N, F] row per program walks off the
+    16 MB scoped-VMEM cliff at 384px (measured: [577, 3072] bf16 wants
+    20.5 MB scoped; [197, 3072] fits). Scoped usage scales ≈linearly at
+    ~35.6 KB per row at F=3072, so cap rows at 256·(3072/F) — one block
+    (unchanged behavior) at 224px, three blocks at 384px."""
+    return min(n, max(8, 256 * 3072 // max(f, 1)))
 
 
 def _gd_mask(x, seed, rate):
@@ -217,16 +233,30 @@ def _gd_mask(x, seed, rate):
     return keep
 
 
+def _gd_grid(x):
+    """(grid, block, index_map) blocking dim 0 per image and — for rank-3
+    inputs — dim 1 in token chunks (same grid fwd and bwd: the mask stream
+    is a function of the grid position)."""
+    b = x.shape[0]
+    if x.ndim >= 3:
+        bn = _gd_token_block(x.shape[1], int(np.prod(x.shape[2:])))
+        grid = (b, -(-x.shape[1] // bn))
+        block = (1, bn) + x.shape[2:]
+    else:
+        grid = (b, 1)
+        block = (1,) + x.shape[1:]
+    idx = lambda i, j: (i, j) + (0,) * (x.ndim - 2)  # noqa: E731
+    return grid, block, idx
+
+
 def _run_gelu_dropout(x, seed, rate):
     if not _on_tpu():
         y = _gelu_f32(x.astype(jnp.float32)) / (1.0 - rate)
         return jnp.where(_gd_mask(x, seed, rate), y, 0.0).astype(x.dtype)
-    b = x.shape[0]
-    block = (1,) + x.shape[1:]
-    idx = lambda i: (i,) + (0,) * (x.ndim - 1)  # noqa: E731
+    grid, block, idx = _gd_grid(x)
     return pl.pallas_call(
         functools.partial(_gelu_dropout_kernel, rate=rate),
-        grid=(b,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(block, idx, memory_space=pltpu.VMEM),
@@ -241,12 +271,10 @@ def _run_gelu_dropout_bwd(x, g, seed, rate):
         dx = (_gelu_grad_f32(x.astype(jnp.float32))
               * g.astype(jnp.float32) / (1.0 - rate))
         return jnp.where(_gd_mask(x, seed, rate), dx, 0.0).astype(x.dtype)
-    b = x.shape[0]
-    block = (1,) + x.shape[1:]
-    idx = lambda i: (i,) + (0,) * (x.ndim - 1)  # noqa: E731
+    grid, block, idx = _gd_grid(x)
     return pl.pallas_call(
         functools.partial(_gelu_dropout_bwd_kernel, rate=rate),
-        grid=(b,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(block, idx, memory_space=pltpu.VMEM),
