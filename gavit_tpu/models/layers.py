@@ -283,6 +283,11 @@ class Attention(nn.Module):
             # HeadMergeProj contracts (h, d) directly in its GEMM, so the
             # head merge needs no relayout (profiled: the output transpose
             # cost ~0.4 ms/block)
+            # fwd_only=True would keep the v4 flat-row path for 384px
+            # inference, but it measured SLOWER than v3 there (1.46 vs
+            # 1.35 ms at b16·N=577 — the transpose is cheap at that batch
+            # while the full 2.7 MB row residency pipelines worse), so the
+            # dispatcher's max(fwd,bwd) rule stands for all calls
             out4 = fused_qkv_attention(qkv, hd ** -0.5, merge_heads=False)
             out = HeadMergeProj(
                 features=c, heads=h, head_dim=hd, dtype=self.dtype,

@@ -599,13 +599,17 @@ def _flat_spec(n, f):
                         memory_space=pltpu.VMEM)
 
 
-def _v4_fits(b, h, n, d, itemsize) -> bool:
-    """Both v4 programs (fwd and bwd) must fit the scoped-VMEM budget with
-    the full [N, 3·H·d] row resident (the row cannot be head-chunked — q/k/v
-    lanes interleave across the whole row)."""
+def _v4_fits(b, h, n, d, itemsize, fwd_only: bool = False) -> bool:
+    """The v4 program(s) must fit the scoped-VMEM budget with the full
+    [N, 3·H·d] row resident (the row cannot be head-chunked — q/k/v lanes
+    interleave across the whole row). ``fwd_only`` checks just the forward
+    program: at 384px the forward fits (≈9.8 MB) while the backward does
+    not, so deterministic (inference) calls keep the relayout-free path."""
     row = n * 3 * h * d * itemsize
     out = h * n * d * itemsize
     fwd = 2 * (row + out) + 2 * n * n * 4
+    if fwd_only:
+        return fwd <= _VMEM_BUDGET
     bwd = 2 * (row + out + row) + 5 * n * n * 4
     return max(fwd, bwd) <= _VMEM_BUDGET
 
@@ -640,6 +644,14 @@ def _fqkv_flat_fwd(qkv3, scale, heads, d):
 
 def _fqkv_flat_bwd(scale, heads, d, qkv3, g):
     b, n, f = qkv3.shape
+    if not _v4_fits(b, heads, n, d, qkv3.dtype.itemsize):
+        # the forward ran v4 under fwd_only (deterministic inference), but
+        # something differentiated through it anyway (e.g. Grad-CAM's
+        # token-probe VJP at 384px) — the flat-row backward does not fit
+        # scoped VMEM there, so route through the head-chunked v3 backward
+        qkv5 = qkv3.reshape(b, n, 3, heads, d).transpose(0, 2, 3, 1, 4)
+        (dqkv5,) = _fqkv5_bwd(scale, qkv5, g)
+        return (dqkv5.transpose(0, 3, 1, 2, 4).reshape(b, n, f),)
     dqkv3 = pl.pallas_call(
         functools.partial(_bwd_kernel_v4, scale=scale, heads=heads, d=d),
         grid=(b,),
@@ -663,7 +675,8 @@ def _fqkv_flat_bwd(scale, heads, d, qkv3, g):
 _fused_qkv_flat.defvjp(_fqkv_flat_fwd, _fqkv_flat_bwd)
 
 
-def fused_qkv_attention(qkv, scale, merge_heads: bool = True):
+def fused_qkv_attention(qkv, scale, merge_heads: bool = True,
+                        fwd_only: bool = False):
     """MHSA on the packed projection: [B, N, 3, H, d] → [B, N, H, d]
     (or raw [B, H, N, d] with ``merge_heads=False`` — the caller's output
     projection can contract (h, d) directly and skip the relayout).
@@ -673,10 +686,12 @@ def fused_qkv_attention(qkv, scale, merge_heads: bool = True):
     VMEM — no host-side relayout at all (the v3 fused transpose + its
     backward inverse profiled at ≈20 ms/step at ViT-B b128). Falls back to
     the v3 transposed layout when the full row doesn't fit the scoped-VMEM
-    budget (384px backward).
+    budget (384px backward — pass ``fwd_only=True`` on deterministic
+    inference calls, where only the forward program has to fit, to keep the
+    relayout-free path up to larger N).
     """
     b, n, three, h, d = qkv.shape
-    if _v4_fits(b, h, n, d, qkv.dtype.itemsize):
+    if _v4_fits(b, h, n, d, qkv.dtype.itemsize, fwd_only=fwd_only):
         out = _fused_qkv_flat(qkv.reshape(b, n, 3 * h * d), scale, h, d)
     elif _v3_fits(n, d, qkv.dtype.itemsize):
         qkv5 = qkv.transpose(0, 2, 3, 1, 4)  # [B, 3, H, N, d]

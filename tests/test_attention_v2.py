@@ -156,3 +156,47 @@ def test_model_level_large_n_routes_through_v5():
     for a, b in zip(jax.tree.leaves(v5_g), jax.tree.leaves(ref_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3,
                                    rtol=1e-3)
+
+
+def test_v4_fwd_only_backward_fallback():
+    """fwd_only dispatch (deterministic inference) must still be safely
+    differentiable — the VJP routes through the v3 backward when the
+    flat-row backward exceeds the VMEM budget (Grad-CAM at 384px)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gavit_tpu.ops.attention import (
+        _fused_qkv5,
+        _fused_qkv_flat,
+        _v4_fits,
+    )
+
+    # shapes where ONLY the forward fits (the 384px regime, scaled down by
+    # shrinking the budget ratio is impractical — instead just verify the
+    # fallback path computes the same grads as v3 on any shape)
+    b, n, h, d = 2, 13, 4, 8
+    qkv = jax.random.normal(jax.random.key(3), (b, n, 3, h, d))
+    scale = d ** -0.5
+
+    def loss_flat(x):
+        return jnp.sum(_fused_qkv_flat(x.reshape(b, n, 3 * h * d),
+                                       scale, h, d) ** 2)
+
+    def loss_v3(x):
+        return jnp.sum(_fused_qkv5(x.transpose(0, 2, 3, 1, 4), scale) ** 2)
+
+    # force the fallback branch by monkeypatching the fits check
+    import gavit_tpu.ops.attention as att
+    orig = att._v4_fits
+    att._v4_fits = lambda *a, **k: False
+    try:
+        g_fallback = jax.grad(loss_flat)(qkv)
+    finally:
+        att._v4_fits = orig
+    g_v3 = jax.grad(loss_v3)(qkv)
+    np.testing.assert_allclose(np.asarray(g_fallback), np.asarray(g_v3),
+                               atol=1e-5)
+    # the real 384px regime: fwd fits, full does not
+    assert _v4_fits(16, 12, 577, 64, 2, fwd_only=True)
+    assert not _v4_fits(16, 12, 577, 64, 2)
