@@ -5,7 +5,12 @@ jax.distributed against a local coordinator, feeds its per-process shard of
 the global batch, and runs one training epoch + validation. The parent
 asserts both processes report identical globally-gathered metrics.
 
-Usage: python multihost_worker.py <coordinator> <num_processes> <process_id>
+Usage: python multihost_worker.py <coordinator> <num_processes> <process_id> [tp]
+
+With the optional ``tp`` flag the worker trains on a (data=4, model=2) mesh —
+multi-host tensor parallelism, with the 'model' axis spanning process
+boundaries — using the XLA attention/graph impls (the Pallas kernels are
+GSPMD-opaque).
 """
 
 import json
@@ -37,6 +42,7 @@ from gavit_tpu.training import Trainer  # noqa: E402
 def main():
     assert jax.device_count() == 8, jax.device_count()
     assert jax.local_device_count() == 4
+    tp = 2 if (len(sys.argv) > 4 and sys.argv[4] == "tp") else 1
 
     global_bs = 16
     local_bs = global_bs // jax.process_count()
@@ -47,6 +53,7 @@ def main():
         "data": {"batch_size": global_bs, "image_size": 16},
         "training": {"epochs": 1, "warmup_epochs": 1, "precision": "fp32",
                      "log_every": 1000},
+        "mesh": {"data": 8 // tp, "model": tp},
         "paths": {"save_dir": "/tmp/mh_ckpt", "log_dir": "/tmp/mh_logs"},
     })
     train_ds = SyntheticChestXrayDataset(size=64, image_size=16, seed=0)
@@ -57,13 +64,18 @@ def main():
                     shard_by_process=True)
     assert len(tl) == 64 // jax.process_count() // local_bs
 
-    model = build_model(cfg.model, precision="fp32")
+    impl = {"attn_impl": "xla", "graph_impl": "xla"} if tp > 1 else {}
+    model = build_model(cfg.model, precision="fp32", **impl)
     params = init_params(model, jax.random.key(0))
     trainer = Trainer(model, params, tl, vl, cfg)
+    if tp > 1:
+        qkv = trainer.state.params["model"]["blocks_0"]["attn"]["qkv"]["kernel"]
+        assert "model" in str(qkv.sharding.spec), qkv.sharding
 
     train_metrics = trainer.train_epoch()
     val_metrics = trainer.validate()
     print("RESULT " + json.dumps({
+        "tp": tp,
         "process": jax.process_index(),
         "step": int(trainer.state.step),
         "train_loss": round(float(train_metrics["loss"]), 6),

@@ -71,3 +71,37 @@ def test_shard_by_process_single_process_is_identity():
     for (ia, la), (ib, lb) in zip(plain, sharded):
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_array_equal(la, lb)
+
+
+def test_two_process_tensor_parallel_training():
+    """Multi-host dp×tp: the 'model' axis spans process boundaries; both
+    processes must agree on globally-gathered metrics and the params must
+    actually live TP-sharded."""
+    coordinator = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
+             coordinator, "2", str(i), "tp"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=str(REPO),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
+    results = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, out[-2000:]
+        results.append(json.loads(lines[-1][len("RESULT "):]))
+    a, b = results
+    assert a["tp"] == b["tp"] == 2
+    for key in ("step", "train_loss", "train_auc", "val_loss", "val_auc"):
+        assert a[key] == b[key], (key, a, b)
+    assert np.isfinite(a["train_loss"])
