@@ -497,15 +497,29 @@ class Trainer:
                 self._loader_state
             ).decode("ascii")
         name = ckpt_lib.checkpoint_name(self.current_epoch, metrics["mean_auc"])
-        ckpt_lib.save(os.path.join(save_dir, name), self._state_tree(), meta)
-        if is_best:
-            ckpt_lib.save(
-                os.path.join(save_dir, "best_model"), self._state_tree(), meta
+        if epoch_completed:
+            # end-of-epoch saves persist in the background — the next epoch
+            # starts immediately (the snapshot copy decouples the write from
+            # the donated live state)
+            ckpt_lib.save_async(
+                os.path.join(save_dir, name), self._state_tree(), meta,
+                also=[os.path.join(save_dir, "best_model")] if is_best else [],
             )
+        else:
+            # preemption saves stay synchronous: the process may be killed
+            # the moment this returns
+            ckpt_lib.save(os.path.join(save_dir, name), self._state_tree(), meta)
+            if is_best:
+                ckpt_lib.save(
+                    os.path.join(save_dir, "best_model"), self._state_tree(),
+                    meta,
+                )
+        if is_best:
             logger.info(f"Saved new best model with AUC: {metrics['mean_auc']:.4f}")
 
     def restore_checkpoint(self, path: str):
         """Full resume: params + optimizer + schedule step + epoch/best-AUC."""
+        ckpt_lib.wait_for_saves()  # never read a half-written checkpoint
         state, meta = ckpt_lib.restore(path, self._state_tree())
         # jit (not device_put): multi-process restores need non-addressable
         # replicated global arrays
@@ -624,12 +638,14 @@ class Trainer:
                 if self.val_metrics_history
                 else {"mean_auc": 0.0}
             )
+            ckpt_lib.wait_for_saves()  # don't race an in-flight epoch save
             self.save_checkpoint(last_metrics, is_best=False,
                                  epoch_completed=False)
         except Exception as e:
             logger.error(f"Training failed with error: {e}")
             raise
         finally:
+            ckpt_lib.wait_for_saves()  # all checkpoints on disk before return
             self._preemption.uninstall()
             self._preemption = None
             logger.info("Training completed!")

@@ -286,3 +286,24 @@ def test_grad_accum_rejects_indivisible(tmp_path):
     with pytest.raises(ValueError, match="not divisible"):
         tr._train_step(tr.state, tr.base_rng,
                        jax.numpy.asarray(images), jax.numpy.asarray(labels))
+
+
+def test_async_checkpoint_save_roundtrip(tmp_path):
+    """save_async snapshots the state (safe against donation) and persists
+    in the background; wait_for_saves guarantees durability; the `also`
+    copies share the snapshot."""
+    import jax.numpy as jnp
+
+    tree = {"w": jnp.arange(8, dtype=jnp.float32), "step": jnp.int32(3)}
+    main = str(tmp_path / "ck")
+    extra = str(tmp_path / "best")
+    ckpt_lib.save_async(main, tree, {"epoch": 1}, also=[extra])
+    ckpt_lib.wait_for_saves()
+    for path in (main, extra):
+        state, meta = ckpt_lib.restore(path, tree)
+        assert meta["epoch"] == 1
+        np.testing.assert_array_equal(np.asarray(state["w"]),
+                                      np.arange(8, dtype=np.float32))
+        assert int(state["step"]) == 3
+    # idempotent when nothing is pending
+    ckpt_lib.wait_for_saves()
