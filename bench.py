@@ -64,6 +64,25 @@ def dropout_selfcheck(rate: float = 0.1):
     )
     log(f"dropout kernel selfcheck OK (keep {keep_rate:.4f})")
 
+    # GELU+dropout with a token-BLOCKED grid (the 384px regime): fwd/bwd
+    # masks must agree across the 2-D (image, token-block) seeding
+    from gavit_tpu.ops.dropout import _gd_token_block, fused_gelu_dropout
+
+    xg = jnp.full((2, 600, 3072), 0.7, jnp.bfloat16)
+    assert _gd_token_block(600, 3072) < 600  # actually exercises >1 block
+    yg = fused_gelu_dropout(xg, seed, rate)
+    kept_g = yg.astype(jnp.float32) != 0.0
+    kr = float(jnp.mean(kept_g.astype(jnp.float32)))
+    assert abs(kr - (1.0 - rate)) < 0.01, f"gelu-dropout keep {kr:.4f}"
+    gg = jax.grad(
+        lambda x: jnp.sum(fused_gelu_dropout(x, seed, rate)
+                          .astype(jnp.float32))
+    )(xg)
+    assert bool(jnp.all((gg.astype(jnp.float32) != 0.0) == kept_g)), (
+        "fwd/bwd gelu-dropout masks differ across token blocks"
+    )
+    log("gelu-dropout blocked-grid selfcheck OK")
+
 
 def main():
     import gavit_tpu
