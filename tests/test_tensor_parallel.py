@@ -194,3 +194,45 @@ def test_tp_with_grad_accum_and_remat(tmp_path):
     a = state.params["model"]["blocks_0"]["mlp"]["fc1"]["kernel"]
     b = ref_state.params["model"]["blocks_0"]["mlp"]["fc1"]["kernel"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_tp_validate_and_checkpoint_roundtrip(tmp_path):
+    """Under a dp×tp mesh the full Trainer surface works: validate() runs
+    the eval step on TP-sharded params, and checkpoints save/restore
+    (restore re-shards through the TP state sharding)."""
+    from gavit_tpu.config import from_dict
+    from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
+    from gavit_tpu.training import Trainer
+    from gavit_tpu.utils import checkpoint as ckpt_lib
+
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 2, "num_heads": 2,
+                  "num_classes": 14, "drop_rate": 0.0,
+                  "graph": {"enabled": True, "num_blocks": 1,
+                            "adjacency": "knn", "k": 2}},
+        "data": {"batch_size": 16, "image_size": 16},
+        "training": {"epochs": 1, "warmup_epochs": 1, "precision": "fp32"},
+        "mesh": {"data": 4, "model": 2},
+        "paths": {"save_dir": str(tmp_path / "ck"),
+                  "log_dir": str(tmp_path / "lg")},
+    })
+    model = build_model(cfg.model, precision="fp32", attn_impl="xla",
+                        graph_impl="xla")
+    params = init_params(model, jax.random.key(0))
+    ds = SyntheticChestXrayDataset(size=32, image_size=16, seed=0)
+    loader = DataLoader(ds, 16, num_workers=0)
+    tr = Trainer(model, params, loader, loader, cfg)
+
+    vm = tr.validate()
+    assert np.isfinite(vm["loss"]) and 0.0 <= vm["mean_auc"] <= 1.0
+
+    tr.save_checkpoint({"mean_auc": 0.5}, is_best=True)
+    ckpt_lib.wait_for_saves()
+    before = np.asarray(
+        tr.state.params["model"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    )
+    tr.restore_checkpoint(str(tmp_path / "ck" / "best_model"))
+    qkv = tr.state.params["model"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert "model" in str(qkv.sharding.spec)  # re-sharded on restore
+    np.testing.assert_allclose(np.asarray(qkv), before)
