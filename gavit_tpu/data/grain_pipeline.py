@@ -106,7 +106,14 @@ class GrainLoader:
         self._iterator = None
 
     def __len__(self):
-        n = len(self.dataset)
+        # per-PROCESS batch count: the sampler shards records with
+        # ShardByJaxProcess(drop_remainder=True), so each host yields its
+        # shard's batches — a global count would inflate the Trainer's
+        # steps_per_epoch (and thus the LR schedule) by process_count on
+        # multi-host runs (the threaded DataLoader's _num_local analogue)
+        import jax
+
+        n = len(self.dataset) // jax.process_count()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

@@ -119,10 +119,12 @@ class DataLoader:
 def device_iterator(loader, mesh=None, prefetch: int = 2, state_fn=None):
     """Wrap a host loader: place batches on the mesh ahead of consumption.
 
-    Yields ``(images, labels, n_real, state)``. Ragged tail batches
+    Yields ``(images, labels, valid, state)``. Ragged tail batches
     (drop_last=False loaders on a multi-device mesh) are wrap-padded up to
-    the data-axis size; ``n_real`` is the number of genuine rows — consumers
-    slice model outputs back to it before accumulating metrics.
+    the data-axis size; ``valid`` is shard_batch_padded's host-side
+    genuine-row mask (None when every row is genuine, as on the mesh-less
+    path) — consumers mask model outputs with it before accumulating
+    metrics.
 
     ``state_fn`` (e.g. ``GrainLoader.get_state``) is sampled immediately
     after each batch is pulled from the host iterator — BEFORE lookahead
@@ -133,24 +135,33 @@ def device_iterator(loader, mesh=None, prefetch: int = 2, state_fn=None):
 
     import jax
 
-    def pull(it):
-        batch = next(it)
+    def place(batch):
+        # runs immediately after the item's next() and before the lookahead
+        # pulls another, so state_fn still snapshots the exact "everything
+        # up to and including this batch" position
         state = state_fn() if state_fn is not None else None
         if mesh is not None:
-            placed, n_real = shard_batch_padded(mesh, batch)
-            return (*placed, n_real, state)
-        return (*jax.device_put(batch), batch[0].shape[0], state)
+            placed, valid = shard_batch_padded(mesh, batch)
+            return (*placed, valid, state)
+        return (*jax.device_put(batch), None, state)
 
+    yield from prefetched_iter(iter(loader), place, prefetch)
+
+
+def prefetched_iter(it, place, prefetch: int):
+    """Keep ``prefetch`` placed items in flight ahead of consumption: the
+    device transfers issued by ``place`` overlap the consumer's dispatch.
+    Shared by :func:`device_iterator` and the trainer's stacked-batch path.
+    """
     queue = collections.deque()
-    it = iter(loader)
     try:
-        for _ in range(prefetch):
-            queue.append(pull(it))
+        for _ in range(max(1, prefetch)):
+            queue.append(place(next(it)))
     except StopIteration:
         pass
     while queue:
         try:
-            queue.append(pull(it))
+            queue.append(place(next(it)))
         except StopIteration:
             pass
         yield queue.popleft()

@@ -155,7 +155,6 @@ class Mlp(nn.Module):
     drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
-    apply_out_drop: bool = True  # False: caller fuses drop into the residual
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -181,9 +180,7 @@ class Mlp(nn.Module):
             x = FusedDropout(self.drop)(x, deterministic=deterministic)
         x = QDense(self.out_dim, dtype=self.dtype, quant=self.quant,
                    name="fc2")(x, fuse_bias_grad=not deterministic)
-        if self.apply_out_drop:
-            x = FusedDropout(self.drop)(x, deterministic=deterministic)
-        return x
+        return FusedDropout(self.drop)(x, deterministic=deterministic)
 
 
 class FusedDropout(nn.Module):
@@ -264,7 +261,6 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     impl: str = "auto"
     quant: bool = False
-    apply_out_drop: bool = True  # False: caller fuses drop into the residual
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, return_probs: bool = False):
@@ -293,10 +289,7 @@ class Attention(nn.Module):
                 features=c, heads=h, head_dim=hd, dtype=self.dtype,
                 quant=self.quant, name="proj",
             )(out4)
-            if self.apply_out_drop:
-                out = FusedDropout(self.proj_drop)(
-                    out, deterministic=deterministic
-                )
+            out = FusedDropout(self.proj_drop)(out, deterministic=deterministic)
             if return_probs:
                 return out, None
             return out
@@ -324,8 +317,7 @@ class Attention(nn.Module):
             out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
         out = QDense(c, dtype=self.dtype, quant=self.quant, name="proj")(
             out, fuse_bias_grad=not deterministic)
-        if self.apply_out_drop:
-            out = FusedDropout(self.proj_drop)(out, deterministic=deterministic)
+        out = FusedDropout(self.proj_drop)(out, deterministic=deterministic)
         if return_probs:
             return out, probs
         return out

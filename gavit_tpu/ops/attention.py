@@ -255,7 +255,11 @@ _fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 def attention_pallas(q, k, v, scale):
     """Fused MHSA: [B, H, N, d] → [B, H, N, d]."""
     n, d = q.shape[-2], q.shape[-1]
-    if not _v3_fits(n, d, q.dtype.itemsize):
+    # the v1 kernel pads tokens to the 128-lane multiple before running, so
+    # the VMEM estimate must use the PADDED length (n=700 fits unpadded but
+    # its 768-padded score buffers would not)
+    n_pad = max(_round_up(n, _LANE), _LANE)
+    if not _v3_fits(n_pad, d, q.dtype.itemsize):
         return flash_attention_large(q, k, v, scale)
     return _fused_attention(q, k, v, scale)
 

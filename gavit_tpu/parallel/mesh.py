@@ -94,9 +94,18 @@ def pad_batch(batch, multiple: int):
 def shard_batch_padded(mesh: Mesh, batch):
     """:func:`shard_batch` tolerant of ragged tail batches: wrap-pads the
     leading dim to the per-process slice of the data-axis size. Returns
-    ``(sharded_batch, n_real)`` where ``n_real`` counts GLOBAL genuine rows
-    (each process feeds an equal local shard, so local real rows scale by
-    process_count)."""
+    ``(sharded_batch, valid)`` where ``valid`` is a host-side boolean mask
+    over GLOBAL rows marking the genuine ones.
+
+    A mask (not a count): the global batch concatenates each process's
+    padded local shard, so with >1 process the pad rows are interleaved
+    ``[p0 real.., p0 pad, p1 real.., p1 pad]`` — a prefix slice
+    ``[:n_real]`` would keep process 0's duplicates and drop process 1's
+    real tail. Every process feeds an equal local shard, so the mask is the
+    local pattern tiled process_count times and identical on every host.
+    """
     pc = jax.process_count()
     batch, n_local = pad_batch(batch, max(1, data_axis_size(mesh) // pc))
-    return shard_batch(mesh, batch), n_local * pc
+    padded_rows = jax.tree.leaves(batch)[0].shape[0]
+    local_valid = np.arange(padded_rows) < n_local
+    return shard_batch(mesh, batch), np.tile(local_valid, pc)

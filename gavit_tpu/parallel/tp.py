@@ -21,6 +21,7 @@ DP-only fast path. Correctness (TP math == single-device math) is pinned by
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -61,9 +62,10 @@ def train_state_shardings(mesh: Mesh, tx, state):
     'criterion': ...}``: the model group gets the Megatron specs above, the
     criterion λs (and the step counter) stay replicated. The optimizer-state
     shardings are not spelled out by hand — ``tx.init`` is run once under
-    ``jit`` on TP-sharded params and GSPMD's propagation gives every moment
-    buffer its param's sharding (scalars like the schedule count come back
-    replicated). That keeps this function correct for any optax chain.
+    ``jit`` on TP-sharded abstract params — AOT lowering only, nothing is
+    allocated — and GSPMD's propagation gives every moment buffer its
+    param's sharding (scalars like the schedule count come back replicated).
+    That keeps this function correct for any optax chain.
     """
     repl = NamedSharding(mesh, P())
     is_spec = lambda s: isinstance(s, P)
@@ -74,15 +76,19 @@ def train_state_shardings(mesh: Mesh, tx, state):
     param_sh = jax.tree.map(
         lambda s: NamedSharding(mesh, s), param_specs, is_leaf=is_spec
     )
-    sharded_params = jax.jit(lambda p: p, out_shardings=param_sh)(state.params)
-    ref_opt = jax.jit(tx.init)(sharded_params)
+    abstract = jax.tree.map(
+        lambda x, s: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x),
+                                          sharding=s),
+        state.params, param_sh,
+    )
+    ref_opt_sh = jax.jit(tx.init).lower(abstract).compile().output_shardings
 
-    def norm(x):
+    def norm(s):
         # input-independent leaves (schedule counts, zeros) come back with a
         # single-device default sharding — those are replicated state
-        s = x.sharding
         ok = isinstance(s, NamedSharding) and s.mesh.shape == mesh.shape
         return s if ok else repl
 
-    opt_sh = jax.tree.map(norm, ref_opt)
+    opt_sh = jax.tree.map(norm, ref_opt_sh,
+                          is_leaf=lambda s: hasattr(s, "device_set"))
     return type(state)(step=repl, params=param_sh, opt_state=opt_sh)

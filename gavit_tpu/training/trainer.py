@@ -60,6 +60,23 @@ class _Preempted(Exception):
 logger = logging.getLogger(__name__)
 
 
+def _take_valid(x, valid):
+    """Drop wrap-pad rows from a (possibly globally-sharded) device array.
+
+    ``valid`` is shard_batch_padded's host-side genuine-row mask (None: all
+    rows genuine). A static gather — concrete indices, executed symmetrically
+    on every process — because with >1 process the pad rows interleave with
+    real ones, so a prefix slice would keep duplicates and drop real rows.
+    """
+    if valid is None or bool(valid.all()):
+        return x
+    return jnp.take(x, jnp.asarray(np.flatnonzero(valid)), axis=0)
+
+
+def _n_valid(x, valid) -> int:
+    return x.shape[0] if valid is None else int(valid.sum())
+
+
 class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any
@@ -293,14 +310,16 @@ class Trainer:
         return getattr(self.train_loader, "get_state", None)
 
     def _chunked_batches(self):
-        """Yield (is_stacked, images, labels, n_real, loader_state): K host
+        """Yield (is_stacked, images, labels, valid, loader_state): K host
         batches stacked into one [K, B, ...] device transfer when
         steps_per_call > 1. Ragged tail batches are wrap-padded to the mesh's
-        data-axis size (n_real is the genuine row count; padded rows repeat
+        data-axis size (``valid`` is the genuine-row mask; padded rows repeat
         real samples, so the extra gradient contribution is bounded and
-        outputs are sliced back before metric accumulation). loader_state is
-        the iterator position AFTER pulling the batch (mid-epoch resume
-        point), or None for loaders without get_state."""
+        outputs are masked before metric accumulation — None means all rows
+        genuine). loader_state is the iterator position AFTER pulling the
+        batch (mid-epoch resume point), or None for loaders without
+        get_state."""
+        from gavit_tpu.data.loader import prefetched_iter
         from gavit_tpu.parallel.mesh import (
             shard_batch_padded,
             stacked_batch_sharding,
@@ -321,7 +340,7 @@ class Trainer:
         stacked_sh = stacked_batch_sharding(self.mesh)
 
         def host_items():
-            """Host-side grouping: ('stack', imK, lbK, n, state) |
+            """Host-side grouping: ('stack', imK, lbK, state) |
             ('single', im, lb, state)."""
             buf_im, buf_lb, buf_st = [], [], []
             bs = None
@@ -341,38 +360,26 @@ class Trainer:
                     continue
                 if len(buf_im) == k:
                     yield ("stack", np.stack(buf_im), np.stack(buf_lb),
-                           k * bs, buf_st[-1])
+                           buf_st[-1])
                     buf_im, buf_lb, buf_st = [], [], []
             for im, lb, st in zip(buf_im, buf_lb, buf_st):
                 yield "single", im, lb, st
 
         def place(item):
             if item[0] == "stack":
-                _, im, lb, n, st = item
+                _, im, lb, st = item
                 return (True, jax.device_put(im, stacked_sh),
-                        jax.device_put(lb, stacked_sh), n, st)
+                        jax.device_put(lb, stacked_sh), None, st)
             _, im, lb, st = item
-            placed, n = shard_batch_padded(self.mesh, (im, lb))
-            return (False, *placed, n, st)
+            placed, valid = shard_batch_padded(self.mesh, (im, lb))
+            return (False, *placed, valid, st)
 
-        # device_iterator-style lookahead: keep `prefetch` placed stacks in
-        # flight so the [K,B,...] transfers overlap the multi-step dispatch
-        # (the k=1 path gets this from device_iterator already)
-        import collections
-
-        queue = collections.deque()
-        it = host_items()
-        try:
-            for _ in range(max(1, self.config.data.prefetch)):
-                queue.append(place(next(it)))
-        except StopIteration:
-            pass
-        while queue:
-            try:
-                queue.append(place(next(it)))
-            except StopIteration:
-                pass
-            yield queue.popleft()
+        # lookahead: keep `prefetch` placed stacks in flight so the
+        # [K,B,...] transfers overlap the multi-step dispatch (the k=1 path
+        # gets the same from device_iterator)
+        yield from prefetched_iter(
+            host_items(), place, self.config.data.prefetch
+        )
 
     def train_epoch(self) -> dict:
         tr = self.config.training
@@ -383,7 +390,7 @@ class Trainer:
 
         self.train_loader.set_epoch(self.current_epoch)
         step_in_epoch = 0
-        for is_stacked, images, labels, n_real, loader_state in (
+        for is_stacked, images, labels, valid, loader_state in (
             self._chunked_batches()
         ):
             if is_stacked:
@@ -400,10 +407,10 @@ class Trainer:
                 self.state, metrics, preds = self._train_step(
                     self.state, self.base_rng, images, labels
                 )
-                preds_acc.append(preds[:n_real])
-                targets_acc.append(labels[:n_real])
+                preds_acc.append(_take_valid(preds, valid))
+                targets_acc.append(_take_valid(labels, valid))
                 metric_acc.append(metrics)
-                n_images += n_real
+                n_images += _n_valid(preds, valid)
                 steps_done = 1
 
             if loader_state is not None:
@@ -448,13 +455,13 @@ class Trainer:
 
     def validate(self) -> dict:
         preds_acc, targets_acc, losses = [], [], []
-        for images, labels, n_real, _ in device_iterator(
+        for images, labels, valid, _ in device_iterator(
             self.val_loader, self.mesh, prefetch=self.config.data.prefetch
         ):
             preds, loss_vec = self._eval_step(self.state.params, images, labels)
-            preds_acc.append(preds[:n_real])
-            targets_acc.append(labels[:n_real])
-            losses.append(loss_vec[:n_real])
+            preds_acc.append(_take_valid(preds, valid))
+            targets_acc.append(_take_valid(labels, valid))
+            losses.append(_take_valid(loss_vec, valid))
         predictions = np.vstack([np.asarray(p) for p in self._gather_host(preds_acc)])
         targets = np.vstack([np.asarray(t) for t in self._gather_host(targets_acc)])
         metrics = self.metric_calculator.calculate_metrics(targets, predictions)

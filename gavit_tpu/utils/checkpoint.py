@@ -61,25 +61,35 @@ def save_async(path: str, state_tree: Any, meta: dict,
     The training step donates its state buffers, so the tree is first
     snapshotted with an on-device copy (cheap HBM-to-HBM, non-aliased jit
     output; breaks aliasing with the live TrainState) — the persist then
-    races nothing. ``also`` writes extra copies (best_model) from the same
-    snapshot in the same thread. Multi-process: orbax saves are collectives,
-    and every process runs the same epoch loop, so the background calls stay
-    symmetric. Call :func:`wait_for_saves` before process exit / preemption
-    handoff / restore so no checkpoint is lost or read half-written.
+    races nothing (device execution is stream-ordered: the copy is enqueued
+    before any later donated step can reuse the buffers, and the background
+    thread's host fetch blocks until the copy's values exist — no host-side
+    barrier needed, which matters because ``jax.block_until_ready`` does not
+    block through tunneled TPU backends). ``also`` writes extra copies
+    (best_model) from the same snapshot in the same thread. Saves are
+    SERIALIZED: each background thread first joins the previous one, so two
+    epochs' best_model writes can neither interleave nor land out of order.
+    Multi-process: orbax saves are collectives, and every process runs the
+    same epoch loop, so the background calls stay symmetric. Call
+    :func:`wait_for_saves` before process exit / preemption handoff /
+    restore so no checkpoint is lost or read half-written.
     """
     snapshot = jax.jit(lambda t: jax.tree.map(lambda x: x + 0, t))(state_tree)
-    jax.block_until_ready(snapshot)
-
-    def run():
-        try:
-            save(path, snapshot, meta)
-            for extra in also or ():
-                save(extra, snapshot, meta)
-        except Exception:  # pragma: no cover - surfaced via log, not raised
-            logger.exception(f"async checkpoint save to {path} failed")
 
     with _pending_lock:
-        _pending_saves[:] = [t for t in _pending_saves if t.is_alive()]
+        prev = [t for t in _pending_saves if t.is_alive()]
+        _pending_saves[:] = prev
+
+        def run():
+            for p in prev:
+                p.join()
+            try:
+                save(path, snapshot, meta)
+                for extra in also or ():
+                    save(extra, snapshot, meta)
+            except Exception:  # pragma: no cover - surfaced via log
+                logger.exception(f"async checkpoint save to {path} failed")
+
         t = threading.Thread(target=run, name="gavit-ckpt-save", daemon=True)
         _pending_saves.append(t)
     t.start()

@@ -121,9 +121,28 @@ def test_pad_batch_wraps_rows():
     assert n2 == 4 and qx.shape == (4, 3)
 
     mesh = make_mesh(MeshConfig(data=8))
-    (sx, sy), n3 = shard_batch_padded(mesh, (x, y))
-    assert n3 == 5 and sx.shape == (8, 3)
-    np.testing.assert_array_equal(np.asarray(sx)[:5], x)
+    (sx, sy), valid = shard_batch_padded(mesh, (x, y))
+    assert valid.sum() == 5 and sx.shape == (8, 3)
+    np.testing.assert_array_equal(valid, [True] * 5 + [False] * 3)
+    np.testing.assert_array_equal(np.asarray(sx)[valid], x)
+
+
+def test_take_valid_handles_interleaved_pads():
+    """With >1 process the pad rows interleave with real rows in the global
+    batch — _take_valid must gather exactly the genuine ones (a prefix slice
+    would keep p0's duplicates and drop p1's real tail)."""
+    import jax.numpy as jnp
+
+    from gavit_tpu.training.trainer import _n_valid, _take_valid
+
+    # simulate the 2-process layout: [p0 r0 r1 r2 pad, p1 r3 r4 r5 pad]
+    preds = jnp.arange(8.0).reshape(8, 1)
+    valid = np.array([1, 1, 1, 0, 1, 1, 1, 0], bool)
+    kept = np.asarray(_take_valid(preds, valid)).ravel()
+    np.testing.assert_array_equal(kept, [0, 1, 2, 4, 5, 6])
+    assert _n_valid(preds, valid) == 6
+    assert _take_valid(preds, None) is preds
+    assert _n_valid(preds, None) == 8
 
 
 def test_ragged_tail_validation_on_mesh(tmp_path):
