@@ -42,7 +42,12 @@ from gavit_tpu.training import Trainer  # noqa: E402
 def main():
     assert jax.device_count() == 8, jax.device_count()
     assert jax.local_device_count() == 4
-    tp = 2 if (len(sys.argv) > 4 and sys.argv[4] == "tp") else 1
+    mode = sys.argv[4] if len(sys.argv) > 4 else ""
+    tp = 2 if mode == "tp" else 1
+    # "ragged": a val set whose per-process shard has a ragged tail batch
+    # (18 local rows, batches 8+8+2) — exercises the interleaved wrap-pad
+    # masking in Trainer.validate (global rows [p0 real.., p0 pad, p1 ...])
+    val_size = 36 if mode == "ragged" else 32
 
     global_bs = 16
     local_bs = global_bs // jax.process_count()
@@ -57,7 +62,7 @@ def main():
         "paths": {"save_dir": "/tmp/mh_ckpt", "log_dir": "/tmp/mh_logs"},
     })
     train_ds = SyntheticChestXrayDataset(size=64, image_size=16, seed=0)
-    val_ds = SyntheticChestXrayDataset(size=32, image_size=16, seed=1)
+    val_ds = SyntheticChestXrayDataset(size=val_size, image_size=16, seed=1)
     tl = DataLoader(train_ds, local_bs, shuffle=True, num_workers=1,
                     drop_last=True, shard_by_process=True)
     vl = DataLoader(val_ds, local_bs, shuffle=False, num_workers=1,
@@ -72,9 +77,14 @@ def main():
         qkv = trainer.state.params["model"]["blocks_0"]["attn"]["qkv"]["kernel"]
         assert "model" in str(qkv.sharding.spec), qkv.sharding
 
+    # validation on the INITIAL params: directly comparable to a
+    # single-process run (training batches group differently under
+    # per-process sharding, so post-training metrics are not)
+    val0 = trainer.validate()
     train_metrics = trainer.train_epoch()
     val_metrics = trainer.validate()
     print("RESULT " + json.dumps({
+        "mode": mode,
         "tp": tp,
         "process": jax.process_index(),
         "step": int(trainer.state.step),
@@ -82,6 +92,8 @@ def main():
         "train_auc": round(float(train_metrics["mean_auc"]), 6),
         "val_loss": round(float(val_metrics["loss"]), 6),
         "val_auc": round(float(val_metrics["mean_auc"]), 6),
+        "val0_loss": round(float(val0["loss"]), 6),
+        "val0_auc": round(float(val0["mean_auc"]), 6),
     }), flush=True)
 
 

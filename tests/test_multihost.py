@@ -105,3 +105,66 @@ def test_two_process_tensor_parallel_training():
     for key in ("step", "train_loss", "train_auc", "val_loss", "val_auc"):
         assert a[key] == b[key], (key, a, b)
     assert np.isfinite(a["train_loss"])
+
+
+def test_two_process_ragged_val_matches_single_process():
+    """The interleaved wrap-pad masking fix, end-to-end: 2-process validation
+    over a val set with ragged per-process tail batches must produce the
+    SAME metrics as a single-process run over the same data (per-sample
+    accounting is order-independent; with the old prefix-slice accounting,
+    process 0's pad duplicates were counted and process 1's tail dropped)."""
+    import jax
+
+    from gavit_tpu.config import from_dict
+    from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
+    from gavit_tpu.models.vit import build_model, init_params
+    from gavit_tpu.training import Trainer
+
+    # single-process reference over the same 36-sample val set (ragged tail
+    # on the 8-device mesh too: 36 % 16 = 4-row tail padded to 8)
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 1, "num_heads": 2,
+                  "num_classes": 14},
+        "data": {"batch_size": 16, "image_size": 16},
+        "training": {"epochs": 1, "warmup_epochs": 1, "precision": "fp32",
+                     "log_every": 1000},
+        "paths": {"save_dir": "/tmp/mh_ref_ck", "log_dir": "/tmp/mh_ref_lg"},
+    })
+    model = build_model(cfg.model, precision="fp32")
+    params = init_params(model, jax.random.key(0))
+    train_ds = SyntheticChestXrayDataset(size=64, image_size=16, seed=0)
+    val_ds = SyntheticChestXrayDataset(size=36, image_size=16, seed=1)
+    tl = DataLoader(train_ds, 16, shuffle=True, num_workers=1, drop_last=True)
+    vl = DataLoader(val_ds, 16, shuffle=False, num_workers=1)
+    ref = Trainer(model, params, tl, vl, cfg).validate()
+
+    coordinator = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
+             coordinator, "2", str(i), "ragged"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=str(REPO),
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
+    results = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, out[-2000:]
+        results.append(json.loads(lines[-1][len("RESULT "):]))
+    a, b = results
+    assert a["val_loss"] == b["val_loss"]
+    assert a["val_auc"] == b["val_auc"]
+    # initial-params metrics over exactly the 36 genuine samples — matches
+    # the single-process run (order-independent per-sample accounting;
+    # post-training metrics are not comparable because per-process sharding
+    # groups the training batches differently)
+    np.testing.assert_allclose(a["val0_loss"], ref["loss"], atol=2e-5)
+    np.testing.assert_allclose(a["val0_auc"], ref["mean_auc"], atol=2e-5)
