@@ -44,6 +44,7 @@ def main():
     assert jax.local_device_count() == 4
     mode = sys.argv[4] if len(sys.argv) > 4 else ""
     tp = 2 if mode == "tp" else 1
+    use_grain = mode == "grain"
     # "ragged": a val set whose per-process shard has a ragged tail batch
     # (18 local rows, batches 8+8+2) — exercises the interleaved wrap-pad
     # masking in Trainer.validate (global rows [p0 real.., p0 pad, p1 ...])
@@ -63,11 +64,20 @@ def main():
     })
     train_ds = SyntheticChestXrayDataset(size=64, image_size=16, seed=0)
     val_ds = SyntheticChestXrayDataset(size=val_size, image_size=16, seed=1)
-    tl = DataLoader(train_ds, local_bs, shuffle=True, num_workers=1,
-                    drop_last=True, shard_by_process=True)
-    vl = DataLoader(val_ds, local_bs, shuffle=False, num_workers=1,
-                    shard_by_process=True)
-    assert len(tl) == 64 // jax.process_count() // local_bs
+    if use_grain:
+        # the grain tier shards via ShardByJaxProcess; len() must count the
+        # PER-PROCESS batches or the Trainer's LR schedule is process_count×
+        # too long (round-2 review finding)
+        from gavit_tpu.data.grain_pipeline import GrainLoader
+
+        tl = GrainLoader(train_ds, local_bs, shuffle=True, drop_last=True)
+        vl = GrainLoader(val_ds, local_bs, shuffle=False)
+    else:
+        tl = DataLoader(train_ds, local_bs, shuffle=True, num_workers=1,
+                        drop_last=True, shard_by_process=True)
+        vl = DataLoader(val_ds, local_bs, shuffle=False, num_workers=1,
+                        shard_by_process=True)
+    assert len(tl) == 64 // jax.process_count() // local_bs, len(tl)
 
     impl = {"attn_impl": "xla", "graph_impl": "xla"} if tp > 1 else {}
     model = build_model(cfg.model, precision="fp32", **impl)

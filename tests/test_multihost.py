@@ -168,3 +168,35 @@ def test_two_process_ragged_val_matches_single_process():
     # groups the training batches differently)
     np.testing.assert_allclose(a["val0_loss"], ref["loss"], atol=2e-5)
     np.testing.assert_allclose(a["val0_auc"], ref["mean_auc"], atol=2e-5)
+
+
+def test_two_process_grain_loader_training():
+    """The grain tier in a real 2-process cluster: per-process ShardByJaxProcess
+    feeding, per-process len() (LR-schedule correctness), identical global
+    metrics on both hosts."""
+    coordinator = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
+             coordinator, "2", str(i), "grain"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=str(REPO),
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
+    results = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, out[-2000:]
+        results.append(json.loads(lines[-1][len("RESULT "):]))
+    a, b = results
+    # 64 samples / 2 processes / 8 local batch = 4 steps — NOT 8 (the
+    # global-len bug this guards against)
+    assert a["step"] == 4, a
+    for key in ("step", "train_loss", "val_loss"):
+        assert a[key] == b[key], (key, a, b)
