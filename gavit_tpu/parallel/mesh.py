@@ -75,12 +75,32 @@ def data_axis_size(mesh: Mesh) -> int:
     return mesh.shape.get("data", 1)
 
 
+def shard_stacked_batch(mesh: Mesh, batch):
+    """Place a [K, B, ...] multi-step stack: batch dim (axis 1) on 'data'.
+
+    Multi-host: each process contributes its local [K, local_B, ...] shard —
+    a bare device_put would treat the local stack as the whole global value
+    and silently train on half-size inconsistent batches.
+    """
+    sharding = stacked_batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        batch,
+    )
+
+
 def pad_batch(batch, multiple: int):
     """Wrap-pad every leaf's leading dim up to a multiple of ``multiple``.
 
     Pad rows repeat real samples (index i % n), so every padded row is a
-    valid input; callers slice outputs back to ``n_real`` before metric /
-    loss accumulation. Returns ``(padded_batch, n_real)``.
+    valid input. Returns ``(padded_batch, n_real)``; note ``n_real`` is only
+    a LOCAL prefix length — for global (multi-process) accounting use
+    :func:`shard_batch_padded`'s ``valid`` mask, since pad rows interleave
+    with real ones across process shards.
     """
     leaves = jax.tree.leaves(batch)
     n = leaves[0].shape[0]

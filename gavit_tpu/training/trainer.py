@@ -322,7 +322,7 @@ class Trainer:
         from gavit_tpu.data.loader import prefetched_iter
         from gavit_tpu.parallel.mesh import (
             shard_batch_padded,
-            stacked_batch_sharding,
+            shard_stacked_batch,
         )
 
         state_fn = self._loader_state_fn()
@@ -337,7 +337,6 @@ class Trainer:
             )
             return
 
-        stacked_sh = stacked_batch_sharding(self.mesh)
 
         def host_items():
             """Host-side grouping: ('stack', imK, lbK, state) |
@@ -368,8 +367,8 @@ class Trainer:
         def place(item):
             if item[0] == "stack":
                 _, im, lb, st = item
-                return (True, jax.device_put(im, stacked_sh),
-                        jax.device_put(lb, stacked_sh), None, st)
+                placed = shard_stacked_batch(self.mesh, (im, lb))
+                return (True, *placed, None, st)
             _, im, lb, st = item
             placed, valid = shard_batch_padded(self.mesh, (im, lb))
             return (False, *placed, valid, st)
@@ -522,7 +521,13 @@ class Trainer:
                     meta,
                 )
         if is_best:
-            logger.info(f"Saved new best model with AUC: {metrics['mean_auc']:.4f}")
+            # on the async path the write is only SCHEDULED here; the
+            # on-disk confirmation is ckpt_lib.save's own log line, and
+            # wait_for_saves raises if the background write failed
+            verb = "Saving" if epoch_completed else "Saved"
+            logger.info(
+                f"{verb} new best model with AUC: {metrics['mean_auc']:.4f}"
+            )
 
     def restore_checkpoint(self, path: str):
         """Full resume: params + optimizer + schedule step + epoch/best-AUC."""

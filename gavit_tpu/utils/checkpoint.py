@@ -28,7 +28,12 @@ import orbax.checkpoint as ocp
 logger = logging.getLogger(__name__)
 
 _pending_saves: list[threading.Thread] = []
+_pending_errors: list[BaseException] = []
 _pending_lock = threading.Lock()
+
+# module-level so repeated save_async calls hit the jit cache instead of
+# retracing the full-state copy every epoch
+_snapshot = jax.jit(lambda t: jax.tree.map(lambda x: x + 0, t))
 
 _STATE_SUBDIR = "state"
 _META_FILE = "meta.json"
@@ -72,9 +77,11 @@ def save_async(path: str, state_tree: Any, meta: dict,
     Multi-process: orbax saves are collectives, and every process runs the
     same epoch loop, so the background calls stay symmetric. Call
     :func:`wait_for_saves` before process exit / preemption handoff /
-    restore so no checkpoint is lost or read half-written.
+    restore so no checkpoint is lost or read half-written — it RE-RAISES any
+    background save failure, so the durability guarantee is real rather than
+    log-only.
     """
-    snapshot = jax.jit(lambda t: jax.tree.map(lambda x: x + 0, t))(state_tree)
+    snapshot = _snapshot(state_tree)
 
     with _pending_lock:
         prev = [t for t in _pending_saves if t.is_alive()]
@@ -87,8 +94,12 @@ def save_async(path: str, state_tree: Any, meta: dict,
                 save(path, snapshot, meta)
                 for extra in also or ():
                     save(extra, snapshot, meta)
-            except Exception:  # pragma: no cover - surfaced via log
+            except BaseException as e:  # noqa: BLE001 - re-raised at the
+                # next wait_for_saves barrier (log too, in case the process
+                # dies before reaching one)
                 logger.exception(f"async checkpoint save to {path} failed")
+                with _pending_lock:
+                    _pending_errors.append(e)
 
         t = threading.Thread(target=run, name="gavit-ckpt-save", daemon=True)
         _pending_saves.append(t)
@@ -96,11 +107,16 @@ def save_async(path: str, state_tree: Any, meta: dict,
 
 
 def wait_for_saves() -> None:
-    """Block until every scheduled :func:`save_async` has hit disk."""
+    """Block until every scheduled :func:`save_async` has hit disk; raise
+    the first background failure (durability barrier, not a formality)."""
     with _pending_lock:
         pending, _pending_saves[:] = _pending_saves[:], []
     for t in pending:
         t.join()
+    with _pending_lock:
+        errors, _pending_errors[:] = _pending_errors[:], []
+    if errors:
+        raise RuntimeError("async checkpoint save failed") from errors[0]
 
 
 def restore(path: str, target_tree: Any) -> tuple[Any, dict]:
