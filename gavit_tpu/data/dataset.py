@@ -54,11 +54,26 @@ def parse_label_file(label_file: str):
 
 
 def class_weights_from_labels(labels: np.ndarray) -> np.ndarray:
-    """Per-class pos_weight = negative/positive counts (``dataset.py:59-64``)."""
+    """Per-class pos_weight = negative/positive counts (``dataset.py:59-64``).
+
+    Classes with ZERO positives fall back to weight 1.0 (with a warning)
+    instead of the reference's ``inf`` — on a split where a rare disease
+    (e.g. Hernia, 227/112k in NIH) has no positive example, an infinite
+    pos_weight turns the first validation positive into an inf WBCE term and
+    NaN epoch metrics. SURVEY §0.5: match intended behavior, not defects.
+    """
     pos = labels.sum(axis=0)
     neg = len(labels) - pos
-    with np.errstate(divide="ignore"):
-        w = neg / pos
+    w = np.where(pos > 0, neg / np.maximum(pos, 1.0), 1.0)
+    if (pos == 0).any():
+        degenerate = [
+            DISEASE_NAMES[i] if i < len(DISEASE_NAMES) else str(i)
+            for i in np.flatnonzero(pos == 0)
+        ]
+        logger.warning(
+            "classes with zero positive samples get pos_weight=1.0 "
+            f"(reference would produce inf): {degenerate}"
+        )
     return w.astype(np.float32)
 
 

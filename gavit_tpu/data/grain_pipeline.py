@@ -72,22 +72,35 @@ class GrainLoader:
         num_workers: int = 0,
         drop_last: bool = False,
         seed: int = 42,
+        shard: tuple[int, int] | None = None,
     ):
+        """``shard=(index, count)`` overrides the default ShardByJaxProcess
+        stream assignment — required when the mesh's ``model`` axis crosses
+        process boundaries and several processes must feed the same stream
+        (:func:`gavit_tpu.parallel.mesh.data_feed_spec`)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.seed = seed
+        self.shard = shard
         self.epoch = 0
         self._source = _DatasetSource(dataset)
         self._loader = None
         self._iterator = None
 
     def _build(self):
+        shard_options = (
+            grain.ShardOptions(shard_index=self.shard[0],
+                               shard_count=self.shard[1],
+                               drop_remainder=True)
+            if self.shard is not None
+            else grain.ShardByJaxProcess(drop_remainder=True)
+        )
         sampler = grain.IndexSampler(
             num_records=len(self._source),
-            shard_options=grain.ShardByJaxProcess(drop_remainder=True),
+            shard_options=shard_options,
             shuffle=self.shuffle,
             num_epochs=1,
             seed=self.seed + self.epoch,
@@ -111,9 +124,12 @@ class GrainLoader:
         # shard's batches — a global count would inflate the Trainer's
         # steps_per_epoch (and thus the LR schedule) by process_count on
         # multi-host runs (the threaded DataLoader's _num_local analogue)
-        import jax
+        if self.shard is not None:
+            n = len(self.dataset) // self.shard[1]
+        else:
+            import jax
 
-        n = len(self.dataset) // jax.process_count()
+            n = len(self.dataset) // jax.process_count()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

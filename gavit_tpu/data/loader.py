@@ -37,34 +37,48 @@ class DataLoader:
         drop_last: bool = False,
         seed: int = 42,
         shard_by_process: bool = False,
+        shard: tuple[int, int] | None = None,
     ):
         """``shard_by_process=True`` makes each JAX process iterate only its
         1/process_count slice of the (seed+epoch-shuffled) global index
         stream — the threaded-loader counterpart of grain's
         ``ShardByJaxProcess``. ``batch_size`` is then the PER-PROCESS batch;
         :func:`gavit_tpu.parallel.mesh.shard_batch` assembles the global
-        array from the per-process shards."""
+        array from the per-process shards.
+
+        ``shard=(index, count)`` overrides the process-based sharding with an
+        explicit stream assignment — required when the mesh's ``model`` axis
+        crosses process boundaries, where several processes form one feeding
+        group and must iterate the SAME stream
+        (:func:`gavit_tpu.parallel.mesh.data_feed_spec` computes the tuple).
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.seed = seed
-        self.shard_by_process = shard_by_process
+        self.shard = shard
+        self.shard_by_process = shard_by_process or shard is not None
         self.epoch = 0
         # separate pools: batch-assembly lookahead tasks must never compete
         # with (and starve) the per-item decode tasks they fan out to
         self._item_pool = ThreadPoolExecutor(max_workers=self.num_workers)
         self._batch_pool = ThreadPoolExecutor(max_workers=2)
 
+    def _shard_spec(self):
+        if self.shard is not None:
+            return self.shard
+        import jax
+
+        return jax.process_index(), jax.process_count()
+
     def _num_local(self):
         n = len(self.dataset)
         if self.shard_by_process:
-            import jax
-
-            # equal shards across processes (trailing remainder dropped so
+            # equal shards across streams (trailing remainder dropped so
             # every host dispatches the same number of steps)
-            return n // jax.process_count()
+            return n // self._shard_spec()[1]
         return n
 
     def __len__(self):
@@ -84,10 +98,9 @@ class DataLoader:
         else:
             indices = np.arange(n)
         if self.shard_by_process:
-            import jax
-
-            per = n // jax.process_count()
-            start = jax.process_index() * per
+            index, count = self._shard_spec()
+            per = n // count
+            start = index * per
             indices = indices[start : start + per]
         return indices
 

@@ -603,7 +603,7 @@ def _flat_spec(n, f):
                         memory_space=pltpu.VMEM)
 
 
-def _v4_fits(b, h, n, d, itemsize, fwd_only: bool = False) -> bool:
+def _v4_fits(h, n, d, itemsize, fwd_only: bool = False) -> bool:
     """The v4 program(s) must fit the scoped-VMEM budget with the full
     [N, 3·H·d] row resident (the row cannot be head-chunked — q/k/v lanes
     interleave across the whole row). ``fwd_only`` checks just the forward
@@ -648,7 +648,7 @@ def _fqkv_flat_fwd(qkv3, scale, heads, d):
 
 def _fqkv_flat_bwd(scale, heads, d, qkv3, g):
     b, n, f = qkv3.shape
-    if not _v4_fits(b, heads, n, d, qkv3.dtype.itemsize):
+    if not _v4_fits(heads, n, d, qkv3.dtype.itemsize):
         # the forward ran v4 under fwd_only (deterministic inference), but
         # something differentiated through it anyway (e.g. Grad-CAM's
         # token-probe VJP at 384px) — the flat-row backward does not fit
@@ -695,7 +695,7 @@ def fused_qkv_attention(qkv, scale, merge_heads: bool = True,
     relayout-free path up to larger N).
     """
     b, n, three, h, d = qkv.shape
-    if _v4_fits(b, h, n, d, qkv.dtype.itemsize, fwd_only=fwd_only):
+    if _v4_fits(h, n, d, qkv.dtype.itemsize, fwd_only=fwd_only):
         out = _fused_qkv_flat(qkv.reshape(b, n, 3 * h * d), scale, h, d)
     elif _v3_fits(n, d, qkv.dtype.itemsize):
         qkv5 = qkv.transpose(0, 2, 3, 1, 4)  # [B, 3, H, N, d]

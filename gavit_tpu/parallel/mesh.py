@@ -111,21 +111,63 @@ def pad_batch(batch, multiple: int):
     return jax.tree.map(lambda x: np.asarray(x)[idx], batch), n
 
 
+def data_feed_spec(mesh: Mesh) -> tuple[int, int, int]:
+    """Per-process input-feeding spec ``(shard_index, num_shards, k)``.
+
+    ``num_shards`` distinct data streams feed the mesh; this process feeds
+    stream ``shard_index``; its local batches must have row counts divisible
+    by ``k`` (the number of data-axis coordinates its devices span).
+
+    Processes whose devices hold the SAME data-axis coordinates — the
+    ``model`` axis crossing a process boundary, e.g. a (data=2, model=2)
+    mesh over 4 single-device hosts, or pure-TP ``(1, n)`` over several
+    hosts — form one feeding group: they land in the same stream and must
+    supply identical local data (their devices hold replicas of the same
+    batch rows, which ``jax.make_array_from_process_local_data`` requires).
+    In the common aligned case (every process covers a distinct slice of the
+    data axis) this degenerates to
+    ``(process_index, process_count, data_axis / process_count)``.
+    """
+    if jax.process_count() == 1:
+        return 0, 1, data_axis_size(mesh)
+    coords: dict[int, set[int]] = {}
+    arr = mesh.devices
+    for di in range(arr.shape[0]):
+        for dev in arr[di].ravel():
+            coords.setdefault(dev.process_index, set()).add(di)
+    pi = jax.process_index()
+    if pi not in coords:
+        raise ValueError(
+            f"process {pi} has no devices in mesh {mesh}; every feeding "
+            "process must own part of the mesh"
+        )
+    tuples = {p: tuple(sorted(c)) for p, c in coords.items()}
+    unique = sorted(set(tuples.values()))
+    if len({len(u) for u in unique}) != 1 or any(
+        u[-1] - u[0] + 1 != len(u) for u in unique
+    ):
+        raise ValueError(
+            "unsupported process→data-coordinate layout (groups must cover "
+            f"equal contiguous data-axis slices): {unique}"
+        )
+    return unique.index(tuples[pi]), len(unique), len(tuples[pi])
+
+
 def shard_batch_padded(mesh: Mesh, batch):
     """:func:`shard_batch` tolerant of ragged tail batches: wrap-pads the
-    leading dim to the per-process slice of the data-axis size. Returns
+    leading dim so every data-axis coordinate gets equal rows. Returns
     ``(sharded_batch, valid)`` where ``valid`` is a host-side boolean mask
     over GLOBAL rows marking the genuine ones.
 
-    A mask (not a count): the global batch concatenates each process's
-    padded local shard, so with >1 process the pad rows are interleaved
-    ``[p0 real.., p0 pad, p1 real.., p1 pad]`` — a prefix slice
-    ``[:n_real]`` would keep process 0's duplicates and drop process 1's
-    real tail. Every process feeds an equal local shard, so the mask is the
-    local pattern tiled process_count times and identical on every host.
+    A mask (not a count): the global batch concatenates each feeding
+    group's padded local shard, so with >1 group the pad rows are
+    interleaved ``[g0 real.., g0 pad, g1 real.., g1 pad]`` — a prefix slice
+    ``[:n_real]`` would keep group 0's duplicates and drop group 1's real
+    tail. Every group feeds an equal local shard, so the mask is the local
+    pattern tiled ``num_shards`` times and identical on every host.
     """
-    pc = jax.process_count()
-    batch, n_local = pad_batch(batch, max(1, data_axis_size(mesh) // pc))
+    _, num_shards, k = data_feed_spec(mesh)
+    batch, n_local = pad_batch(batch, max(1, k))
     padded_rows = jax.tree.leaves(batch)[0].shape[0]
     local_valid = np.arange(padded_rows) < n_local
-    return shard_batch(mesh, batch), np.tile(local_valid, pc)
+    return shard_batch(mesh, batch), np.tile(local_valid, num_shards)

@@ -20,9 +20,13 @@ DP-only fast path. Correctness (TP math == single-device math) is pinned by
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
 
 
 def model_param_specs(params) -> dict:
@@ -83,12 +87,26 @@ def train_state_shardings(mesh: Mesh, tx, state):
     )
     ref_opt_sh = jax.jit(tx.init).lower(abstract).compile().output_shardings
 
-    def norm(s):
+    def norm(path, x, s):
         # input-independent leaves (schedule counts, zeros) come back with a
-        # single-device default sharding — those are replicated state
-        ok = isinstance(s, NamedSharding) and s.mesh.shape == mesh.shape
+        # single-device default sharding — those are replicated state. Mesh
+        # identity is axis names + device list, not just shape: a different
+        # mesh of the same shape must not be treated as ours.
+        ok = (
+            isinstance(s, NamedSharding)
+            and tuple(s.mesh.axis_names) == tuple(mesh.axis_names)
+            and s.mesh.devices.tolist() == mesh.devices.tolist()
+        )
+        if not ok and jnp.ndim(x) > 0:
+            # a non-scalar moment silently degrading to replication is an
+            # HBM regression under TP — make it visible
+            logger.warning(
+                "optimizer-state leaf %s fell back to replicated "
+                "(propagated sharding %r is not on the TP mesh)",
+                jax.tree_util.keystr(path), s,
+            )
         return s if ok else repl
 
-    opt_sh = jax.tree.map(norm, ref_opt_sh,
-                          is_leaf=lambda s: hasattr(s, "device_set"))
+    abstract_opt = jax.eval_shape(tx.init, abstract)
+    opt_sh = jax.tree_util.tree_map_with_path(norm, abstract_opt, ref_opt_sh)
     return type(state)(step=repl, params=param_sh, opt_state=opt_sh)

@@ -102,6 +102,22 @@ class Trainer:
         self.config = config
         self.wandb = wandb_run
         self.mesh = mesh if mesh is not None else make_mesh(config.mesh)
+        if self.mesh.shape.get("model", 1) > 1:
+            # the fused Pallas kernels are opaque to GSPMD: feeding them
+            # 'model'-sharded operands would gather or fail at compile.
+            # scripts/train.py already builds TP models with the XLA impls;
+            # enforce the same invariant for direct Trainer construction.
+            fixed = {}
+            for attr in ("attn_impl", "graph_impl"):
+                if getattr(model, attr, "xla") not in ("xla", "reference"):
+                    fixed[attr] = "xla"
+            if fixed:
+                logger.warning(
+                    f"tensor parallelism requires GSPMD-visible impls; "
+                    f"overriding {sorted(fixed)} to 'xla' (was "
+                    f"{[getattr(model, a) for a in sorted(fixed)]})"
+                )
+                self.model = model = model.clone(**fixed)
 
         tr = config.training
         self.metric_calculator = MetricCalculator(train_loader.dataset.disease_names)
@@ -496,12 +512,17 @@ class Trainer:
                         if isinstance(v, (int, float, np.floating))},
             "config": self.config.to_dict(),
         }
+        loader_state = None
         if not epoch_completed and self._loader_state is not None:
             # checkpointable-iterator position: resume consumes exactly the
-            # samples this run never trained on (grain loaders only)
-            meta["loader_state_b64"] = base64.b64encode(
-                self._loader_state
-            ).decode("ascii")
+            # samples this run never trained on (grain loaders only). The
+            # state is PER-PROCESS (each process iterates its own data
+            # shard), so it is persisted as a per-process sidecar file, not
+            # in the shared meta — a shared field would resume every process
+            # at one writer's position, duplicating that shard and dropping
+            # the others'.
+            loader_state = self._loader_state
+            meta["has_loader_state"] = True
         name = ckpt_lib.checkpoint_name(self.current_epoch, metrics["mean_auc"])
         if epoch_completed:
             # end-of-epoch saves persist in the background — the next epoch
@@ -514,11 +535,12 @@ class Trainer:
         else:
             # preemption saves stay synchronous: the process may be killed
             # the moment this returns
-            ckpt_lib.save(os.path.join(save_dir, name), self._state_tree(), meta)
+            ckpt_lib.save(os.path.join(save_dir, name), self._state_tree(),
+                          meta, process_data=loader_state)
             if is_best:
                 ckpt_lib.save(
                     os.path.join(save_dir, "best_model"), self._state_tree(),
-                    meta,
+                    meta, process_data=loader_state,
                 )
         if is_best:
             # on the async path the write is only SCHEDULED here; the
@@ -549,13 +571,24 @@ class Trainer:
         self.best_val_auc = float(meta.get("best_val_auc", 0.0))
         self.best_epoch = int(meta.get("best_epoch", 0))
         self.patience_counter = int(meta.get("patience_counter", 0))
-        loader_state = meta.get("loader_state_b64")
+        loader_state = None
+        if meta.get("loader_state_b64"):  # pre-r3 checkpoints (shared field)
+            loader_state = base64.b64decode(meta["loader_state_b64"])
+        elif meta.get("has_loader_state"):
+            # per-process sidecar: THIS process's iterator position
+            loader_state = ckpt_lib.load_process_data(path)
+            if loader_state is None:
+                raise FileNotFoundError(
+                    f"checkpoint {path} marks a mid-epoch save but has no "
+                    f"loader state for process {jax.process_index()} — "
+                    "resume with the same process count it was saved with"
+                )
         if loader_state and hasattr(self.train_loader, "set_state"):
             # mid-epoch resume: position the checkpointable iterator on the
             # first unseen sample of the in-progress epoch (set_epoch is
             # idempotent, so train_epoch's own call keeps this position)
             self.train_loader.set_epoch(self.current_epoch)
-            self.train_loader.set_state(base64.b64decode(loader_state))
+            self.train_loader.set_state(loader_state)
             logger.info("Restored mid-epoch data-iterator state")
         logger.info(f"Resumed from {path} at epoch {self.current_epoch}")
 

@@ -44,17 +44,46 @@ def checkpoint_name(epoch: int, auc: float) -> str:
     return f"checkpoint_epoch_{epoch}_auc_{auc:.4f}"
 
 
-def save(path: str, state_tree: Any, meta: dict) -> None:
-    """Save a pytree (params/opt_state/step) + JSON metadata under ``path``."""
+def save(path: str, state_tree: Any, meta: dict,
+         process_data: bytes | None = None) -> None:
+    """Save a pytree (params/opt_state/step) + JSON metadata under ``path``.
+
+    Multi-process discipline: the orbax save is a collective every process
+    joins, but ``meta.json`` is written by process 0 ONLY — every process
+    racing the same ``open(.., 'w')`` is a torn-file risk on NFS/GCS even
+    with identical content. Strictly per-process payloads (a grain
+    iterator's position, which differs across data shards) go through
+    ``process_data``: each process writes its own
+    ``loader_state_p{i}.bin`` — no shared file, no race — and reads back
+    its own with :func:`load_process_data`.
+    """
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
     state_path = os.path.join(path, _STATE_SUBDIR)
     ckptr.save(state_path, state_tree, force=True)
     ckptr.wait_until_finished()
-    with open(os.path.join(path, _META_FILE), "w") as f:
-        json.dump(meta, f, indent=2, default=str)
+    if process_data is not None:
+        with open(_process_data_path(path), "wb") as f:
+            f.write(process_data)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, _META_FILE), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
     logger.info(f"Saved checkpoint to {path}")
+
+
+def _process_data_path(path: str, process_index: int | None = None) -> str:
+    i = jax.process_index() if process_index is None else process_index
+    return os.path.join(path, f"loader_state_p{i}.bin")
+
+
+def load_process_data(path: str) -> bytes | None:
+    """This process's ``process_data`` payload from ``save``, or None."""
+    p = _process_data_path(os.path.abspath(path))
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        return f.read()
 
 
 def save_async(path: str, state_tree: Any, meta: dict,
@@ -116,7 +145,10 @@ def wait_for_saves() -> None:
     with _pending_lock:
         errors, _pending_errors[:] = _pending_errors[:], []
     if errors:
-        raise RuntimeError("async checkpoint save failed") from errors[0]
+        detail = "; ".join(f"{type(e).__name__}: {e}" for e in errors)
+        raise RuntimeError(
+            f"{len(errors)} async checkpoint save(s) failed: {detail}"
+        ) from errors[0]
 
 
 def restore(path: str, target_tree: Any) -> tuple[Any, dict]:

@@ -50,6 +50,55 @@ def test_class_weights_neg_over_pos():
     assert w[0] == 4.0 and w[1] == 1.0
 
 
+def test_class_weights_zero_positive_class_is_finite():
+    """A split where a rare disease has NO positives must not produce an
+    inf pos_weight (the reference's neg/pos would; an inf pos_weight turns
+    the first val positive into inf WBCE → NaN epoch metrics)."""
+    labels = np.zeros((10, 14), np.float32)
+    labels[:2, 0] = 1.0
+    w = class_weights_from_labels(labels)  # classes 1..13 have zero positives
+    assert np.isfinite(w).all()
+    assert w[0] == 4.0
+    assert (w[1:] == 1.0).all()
+
+
+def test_train_step_finite_with_all_negative_disease():
+    """One real training step on a split whose last disease (think Hernia)
+    is all-negative: loss and gradients stay finite end-to-end."""
+    import jax
+
+    from gavit_tpu.config import from_dict
+    from gavit_tpu.models.vit import build_model, init_params
+    from gavit_tpu.training import Trainer
+
+    ds = SyntheticChestXrayDataset(size=16, image_size=8, seed=0)
+    ds.labels[:, -1] = 0.0  # degenerate: zero positives for one class
+    ds.class_weights = class_weights_from_labels(ds.labels)
+    assert np.isfinite(ds.class_weights).all()
+
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 8, "patch_size": 4,
+                  "embed_dim": 16, "depth": 1, "num_heads": 2,
+                  "num_classes": 14},
+        "data": {"batch_size": 8, "image_size": 8},
+        "training": {"epochs": 1, "warmup_epochs": 1, "precision": "fp32",
+                     "log_every": 1000},
+        "paths": {"save_dir": "/tmp/degen_ck", "log_dir": "/tmp/degen_lg"},
+    })
+    model = build_model(cfg.model, precision="fp32")
+    params = init_params(model, jax.random.key(0))
+    tl = DataLoader(ds, 8, shuffle=False, num_workers=1, drop_last=True)
+    vl = DataLoader(ds, 8, shuffle=False, num_workers=1)
+    trainer = Trainer(model, params, tl, vl, cfg)
+    metrics = trainer.train_epoch()
+    assert np.isfinite(metrics["loss"]), metrics
+    val = trainer.validate()
+    assert np.isfinite(val["loss"]), val
+    # the trained params themselves stayed finite
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(jax.device_get(trainer.state.params)))
+
+
 def test_dataset_loads_images(tmp_path):
     from PIL import Image
 
