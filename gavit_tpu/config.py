@@ -375,8 +375,25 @@ def from_dict(raw: Mapping[str, Any]) -> Config:
     return cfg
 
 
-def load_config(path: str) -> Config:
-    """Load a YAML config file (reference ``scripts/train.py:121-122``)."""
+def load_config(path: str, overrides: list[str] | None = None) -> Config:
+    """Load a YAML config file (reference ``scripts/train.py:121-122``).
+
+    ``overrides``: dotted-key assignments applied on top of the file —
+    ``["data.batch_size=64", "mesh.data=1"]`` — values parsed as YAML.
+    Lets a shipped config run on different hardware (e.g. v5e8_dp on one
+    chip via grad accumulation) without editing the file.
+    """
     with open(path) as f:
-        raw = yaml.safe_load(f)
-    return from_dict(raw or {})
+        raw = yaml.safe_load(f) or {}
+    for item in overrides or []:
+        key, _, value = item.partition("=")
+        if not _ or not key:
+            raise ValueError(f"override {item!r} is not of the form key=value")
+        node = raw
+        parts = key.strip().split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+            if not isinstance(node, dict):
+                raise ValueError(f"override {key!r} crosses a non-dict node")
+        node[parts[-1]] = yaml.safe_load(value)
+    return from_dict(raw)

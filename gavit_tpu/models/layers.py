@@ -25,6 +25,7 @@ from gavit_tpu.ops.dropout import (
     fused_dropout,
     fused_gelu_dropout,
 )
+from gavit_tpu.ops.mlp import fused_mlp
 from gavit_tpu.ops.quant import int8_matmul, static_int8_matmul
 from gavit_tpu.ops.attention import (
     attention_reference,
@@ -147,6 +148,26 @@ class PatchEmbed(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only holder matching QDense's tree (kernel [K, F], bias
+    [F]) so the fused-MLP path shares checkpoints with the unfused one."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", trunc_init, (self.in_features, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            jnp.float32,
+        )
+        return kernel, bias
+
+
 class Mlp(nn.Module):
     """Dense → GELU(exact) → drop → Dense → drop (``vit.py:75-94``)."""
 
@@ -158,6 +179,24 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        if not deterministic and not self.quant and x.ndim == 3:
+            # training fast path: the whole fc1→GELU→dropout→fc2 chain in
+            # one Pallas pass — the [M, hidden] activations never exist in
+            # HBM (ops/mlp.py; XLA-composed fallback off-TPU or when no
+            # clean row block divides M). The trailing output dropout stays
+            # a separate site.
+            d = x.shape[-1]
+            w1, b1 = _DenseParams(self.hidden_dim, d, name="fc1")()
+            w2, b2 = _DenseParams(self.out_dim, self.hidden_dim,
+                                  name="fc2")()
+            seed = dropout_seed(self.make_rng("dropout"))
+            y = fused_mlp(
+                x.astype(self.dtype),
+                w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype),
+                seed, self.drop,
+            )
+            return FusedDropout(self.drop)(y, deterministic=deterministic)
         x = QDense(self.hidden_dim, dtype=self.dtype, quant=self.quant,
                    name="fc1")(x, fuse_bias_grad=not deterministic)
         if not deterministic and self.drop > 0.0:

@@ -1,0 +1,346 @@
+"""Fused MLP megakernel: fc1 → exact-GELU → dropout → fc2 in one VMEM pass.
+
+The reference MLP (``/root/reference/src/models/vit.py:75-94``) is two
+Linears with a GELU between them; on TPU the [M, 4D] intermediate dominates
+the HBM traffic of the whole block. The round-2 profile (BASELINE.md) put
+the MLP pools at fc1 24.9 + fc2 23.4 + fused-GELU(+dropout) epilogue
+15.9 ms/step at ViT-B b128, with the epilogue 1.4× over its HBM floor —
+because the chain materialises the [25216, 3072] hidden activations in HBM
+THREE times (fc1 write, epilogue read+write, fc2 read).
+
+This kernel keeps both weight matrices VMEM-resident (4.7 MB each at ViT-B)
+and streams row blocks of the token matrix through fc1 → GELU → dropout →
+fc2 without the hidden activations ever existing in HBM; only the pre-GELU
+``h1`` is written once (bf16) as the backward residual. The backward fuses
+the dh GEMM (dy·W2ᵀ) with mask regeneration (hardware PRNG, same stream as
+forward), the GELU derivative, the recomputation of the dropped activations
+(needed for dW2, so the forward doesn't store them), and both bias-grad
+row-reductions (accumulated in VMEM across the sequential grid — replacing
+the augmented-GEMM bias trick for these two sites). dx/dW1/dW2 remain XLA
+GEMMs over the kernel's outputs.
+
+Per layer this removes ~530 MB of forward and ~260 MB of backward HBM
+traffic at ViT-B b128 versus the unfused chain, at identical GEMM count (6).
+
+Dispatch: training-only (the deterministic path keeps the inference-tuned
+tanh-GELU XLA chain), rows must divide into clean blocks (``pick_block``),
+falls back to the unfused path otherwise (e.g. 384px's prime token count).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gavit_tpu.ops.dropout import _gelu_f32, _gelu_grad_f32
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _prec(dtype):
+    if dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
+import os
+
+# v5e VMEM is 128 MB/core; the kernels keep both weight matrices resident
+# (9.4 MB at ViT-B) plus streaming row blocks, so the default Mosaic cap
+# (~16 MB) must be raised explicitly. Overridable for perf probes.
+_VMEM_LIMIT = int(os.environ.get("GAVIT_MLP_VMEM_MB", "100")) * 1024 * 1024
+_VMEM_BUDGET = int(0.8 * _VMEM_LIMIT)
+
+
+def pick_block(m: int, d: int, f: int, itemsize: int) -> int | None:
+    """Largest row block that (a) divides ``m`` exactly — block rows never
+    cross the array edge, so the backward's bias accumulation sums no
+    out-of-bounds garbage — and (b) fits the VMEM budget with both weights
+    resident. None → caller must use the unfused path."""
+    env = os.environ.get("GAVIT_MLP_BM")
+    if env:
+        bm = int(env)
+        return bm if m % bm == 0 else None
+    fixed = (d * f + f * d) * itemsize + (f + d) * 4
+    for bm in (512, 256, 128, 64, 32):
+        if m % bm:
+            continue
+        # double-buffered streaming blocks + fp32 temporaries (h1, gelu,
+        # random bits) — a deliberate overestimate; Mosaic reuses temps
+        per_row = 2 * (2 * d * itemsize + f * itemsize) + 3 * f * 4
+        if fixed + bm * per_row <= _VMEM_BUDGET:
+            return bm
+    return None
+
+
+def _mask(bits_shape, rate):
+    bits = pltpu.bitcast(pltpu.prng_random_bits(bits_shape), jnp.uint32)
+    return bits >= jnp.uint32(int(rate * 0xFFFFFFFF))
+
+
+def _mlp_fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    y_ref, h1_ref, *, rate: float):
+    prec = _prec(x_ref.dtype)
+    x = x_ref[...]
+    h1 = jax.lax.dot_general(
+        x, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) + b1_ref[...]
+    # round to the storage dtype BEFORE the GELU so forward and backward
+    # (which recomputes from the stored h1) see the same activations
+    h1 = h1.astype(h1_ref.dtype)
+    h1_ref[...] = h1
+    g = _gelu_f32(h1.astype(jnp.float32))
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        keep = _mask(g.shape, rate)
+        g = jnp.where(keep, g * (1.0 / (1.0 - rate)), 0.0)
+    y = jax.lax.dot_general(
+        g.astype(x.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) + b2_ref[...]
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
+def _mlp_bwd_kernel(seed_ref, dy_ref, h1_ref, w2_ref,
+                    dh1_ref, go_ref, db1_ref, db2_ref, *, rate: float):
+    prec = _prec(dy_ref.dtype)
+    i = pl.program_id(0)
+    dy = dy_ref[...]
+    h1 = h1_ref[...].astype(jnp.float32)
+    g = _gelu_f32(h1)
+    dg = _gelu_grad_f32(h1)
+    if rate > 0.0:
+        # identical stream to the forward program at this grid position
+        pltpu.prng_seed(seed_ref[0] + i)
+        keep = _mask(g.shape, rate)
+        scale = 1.0 / (1.0 - rate)
+        g = jnp.where(keep, g * scale, 0.0)
+        dg = jnp.where(keep, dg * scale, 0.0)
+    dh = jax.lax.dot_general(  # dy · W2ᵀ without materialising the transpose
+        dy, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dh1 = dh * dg
+    dh1_ref[...] = dh1.astype(dh1_ref.dtype)
+    go_ref[...] = g.astype(go_ref.dtype)
+
+    @pl.when(i == 0)
+    def _init():
+        db1_ref[...] = jnp.zeros(db1_ref.shape, db1_ref.dtype)
+        db2_ref[...] = jnp.zeros(db2_ref.shape, db2_ref.dtype)
+
+    db1_ref[...] += jnp.sum(dh1, axis=0, keepdims=True)
+    db2_ref[...] += jnp.sum(dy.astype(jnp.float32), axis=0, keepdims=True)
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _row_spec(bm, cols):
+    return pl.BlockSpec((bm, cols), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _run_fwd(x2, w1, b1, w2, b2, seed, rate, bm):
+    m, d = x2.shape
+    f = w1.shape[1]
+    y, h1 = pl.pallas_call(
+        functools.partial(_mlp_fwd_kernel, rate=rate),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _row_spec(bm, d),
+            _const_spec((d, f)),
+            _const_spec((1, f)),
+            _const_spec((f, d)),
+            _const_spec((1, d)),
+        ],
+        out_specs=[_row_spec(bm, d), _row_spec(bm, f)],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, d), x2.dtype),
+            jax.ShapeDtypeStruct((m, f), x2.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * d * f,
+            bytes_accessed=(2 * m * d + m * f + 2 * d * f) * x2.dtype.itemsize,
+            transcendentals=m * f,
+        ),
+    )(seed, x2, w1, b1, w2, b2)
+    return y, h1
+
+
+def _run_bwd(dy2, h1, w2, seed, rate, bm):
+    m, d = dy2.shape
+    f = h1.shape[1]
+    dh1, go, db1, db2 = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, rate=rate),
+        grid=(m // bm,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _row_spec(bm, d),
+            _row_spec(bm, f),
+            _const_spec((f, d)),
+        ],
+        out_specs=[
+            _row_spec(bm, f),
+            _row_spec(bm, f),
+            _const_spec((1, f)),
+            _const_spec((1, d)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, f), dy2.dtype),
+            jax.ShapeDtypeStruct((m, f), dy2.dtype),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # sequential grid: the bias-grad outputs accumulate across steps
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * d * f,
+            bytes_accessed=(m * d + 3 * m * f + d * f) * dy2.dtype.itemsize,
+            transcendentals=2 * m * f,
+        ),
+    )(seed, dy2, h1, w2)
+    return dh1, go, db1, db2
+
+
+def kernel_mask(seed, m: int, f: int, rate: float, bm: int):
+    """The exact keep-mask stream the TPU kernels generate for an [m, f]
+    site at row block ``bm`` (same grid, same per-program seeding) — 0/1
+    fp32, for on-hardware selfchecks (bench.py) only."""
+
+    def kern(seed_ref, o_ref):
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        o_ref[...] = _mask(o_ref.shape, rate).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kern,
+        grid=(m // bm,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=_row_spec(bm, f),
+        out_shape=jax.ShapeDtypeStruct((m, f), jnp.float32),
+    )(seed)
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback (CPU tests / shapes without a clean row block)
+# ---------------------------------------------------------------------------
+
+
+def _fallback_mask(seed, shape, rate):
+    return jax.random.bernoulli(
+        jax.random.PRNGKey(seed[0].astype(jnp.uint32)), 1.0 - rate, shape
+    )
+
+
+def _fallback_fwd(x2, w1, b1, w2, b2, seed, rate):
+    prec = _prec(x2.dtype)
+    h1 = (jnp.dot(x2, w1, preferred_element_type=jnp.float32, precision=prec)
+          + b1).astype(x2.dtype)
+    g = _gelu_f32(h1.astype(jnp.float32))
+    if rate > 0.0:
+        keep = _fallback_mask(seed, g.shape, rate)
+        g = jnp.where(keep, g * (1.0 / (1.0 - rate)), 0.0)
+    y = (jnp.dot(g.astype(x2.dtype), w2, preferred_element_type=jnp.float32,
+                 precision=prec) + b2).astype(x2.dtype)
+    return y, h1
+
+
+def _fallback_bwd(dy2, h1, w2, seed, rate):
+    prec = _prec(dy2.dtype)
+    h1f = h1.astype(jnp.float32)
+    g = _gelu_f32(h1f)
+    dg = _gelu_grad_f32(h1f)
+    if rate > 0.0:
+        keep = _fallback_mask(seed, g.shape, rate)
+        scale = 1.0 / (1.0 - rate)
+        g = jnp.where(keep, g * scale, 0.0)
+        dg = jnp.where(keep, dg * scale, 0.0)
+    dh = jax.lax.dot_general(
+        dy2, w2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    dh1 = dh * dg
+    db1 = jnp.sum(dh1, axis=0, keepdims=True)
+    db2 = jnp.sum(dy2.astype(jnp.float32), axis=0, keepdims=True)
+    return dh1.astype(dy2.dtype), g.astype(dy2.dtype), db1, db2
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_mlp(x, w1, b1, w2, b2, seed, rate: float):
+    """dropout(GELU_exact(x·W1 + b1))·W2 + b2 with the hidden activations
+    never leaving VMEM.
+
+    Args:
+      x: [B, N, D] (or [M, D]) activations.
+      w1: [D, F]; b1: [F]; w2: [F, D]; b2: [D] — already cast to x.dtype.
+      seed: int32 [1] kernel PRNG seed (``dropout_seed``).
+      rate: static dropout rate (0.0 → no PRNG use).
+    Returns:
+      [B, N, D] output. Backward regenerates the dropout mask from the seed
+      (never stored) and recomputes the dropped activations for dW2.
+    """
+    y, _ = _fused_mlp_fwd(x, w1, b1, w2, b2, seed, rate)
+    return y
+
+
+def _fused_mlp_fwd(x, w1, b1, w2, b2, seed, rate):
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    b1r = b1.reshape(1, -1)
+    b2r = b2.reshape(1, -1)
+    bm = pick_block(x2.shape[0], w1.shape[0], w1.shape[1], x2.dtype.itemsize)
+    if _on_tpu() and bm is not None:
+        y, h1 = _run_fwd(x2, w1, b1r, w2, b2r, seed, rate, bm)
+    else:
+        y, h1 = _fallback_fwd(x2, w1, b1r, w2, b2r, seed, rate)
+    return y.reshape(shape), (x2, h1, w1, w2, seed, shape)
+
+
+def _fused_mlp_bwd(rate, res, gy):
+    x2, h1, w1, w2, seed, shape = res
+    dy2 = gy.reshape(-1, gy.shape[-1]).astype(x2.dtype)
+    bm = pick_block(x2.shape[0], w1.shape[0], w1.shape[1], x2.dtype.itemsize)
+    if _on_tpu() and bm is not None:
+        dh1, go, db1, db2 = _run_bwd(dy2, h1, w2, seed, rate, bm)
+    else:
+        dh1, go, db1, db2 = _fallback_bwd(dy2, h1, w2, seed, rate)
+    prec = _prec(x2.dtype)
+    dx = jax.lax.dot_general(  # dh1 · W1ᵀ
+        dh1, w1, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(x2.dtype)
+    dw1 = jax.lax.dot_general(  # xᵀ · dh1 (contract rows)
+        x2, dh1, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(w1.dtype)
+    dw2 = jax.lax.dot_general(  # goᵀ · dy
+        go, dy2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(w2.dtype)
+    return (dx.reshape(shape), dw1, db1.reshape(-1).astype(w1.dtype),
+            dw2, db2.reshape(-1).astype(w2.dtype), None)
+
+
+fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)

@@ -129,6 +129,34 @@ class VisualizationManager:
         plt.close()
         return path
 
+    def plot_per_layer_attention(self, model, params, images_normalised,
+                                 prefix="attention_map"):
+        """One raw attention heatmap PER transformer layer — the reference's
+        hook-based dump (``visualization.py:98-130``: mean over heads of each
+        hooked layer's [N, N] attention, viridis heatmap, one file per
+        layer). Here the per-block probabilities come from the model's
+        ``capture='attention'`` path (the fused kernels never materialise
+        them, so capture uses the reference attention implementation).
+
+        Returns the list of written paths (``{prefix}_blocks_{i}.pdf``).
+        """
+        _, probs = model.apply(
+            {"params": params}, images_normalised, deterministic=True,
+            capture="attention",
+        )
+        paths = []
+        for i, p in enumerate(probs):
+            att = np.asarray(p[0], np.float32).mean(axis=0)  # mean over heads
+            plt.figure(figsize=(10, 10))
+            plt.imshow(att, cmap="viridis")
+            plt.colorbar()
+            plt.title(f"Attention Map - blocks_{i}")
+            path = self.save_dir / f"{prefix}_blocks_{i}.pdf"
+            plt.savefig(path, bbox_inches="tight")
+            plt.close()
+            paths.append(path)
+        return paths
+
     def plot_gradcam(self, model, params, images_normalised, images_u8,
                      class_idx, filename="gradcam.png"):
         from gavit_tpu.utils.gradcam import VisionTransformerGradCAM, overlay_cam

@@ -138,7 +138,10 @@ def main():
 
     viz = VisualizationManager(out_dir, ds.disease_names)
     viz.plot_attention_maps(model, params, images, images_u8)
-    logger.info("Wrote attention maps")
+    # per-layer raw heatmaps (reference visualization.py:98-130) for the
+    # first selected image; the rollout above is the aggregate view
+    viz.plot_per_layer_attention(model, params, images[:1])
+    logger.info("Wrote attention maps (rollout + per-layer)")
 
     # Grad-CAM per disease predicted above threshold anywhere in the batch
     logits = model.apply({"params": params}, images, deterministic=True)

@@ -80,6 +80,11 @@ def parse_args():
     p.add_argument("--profile", type=str, default="",
                    help="Capture a profiler trace of the first training epoch "
                         "into this directory (Perfetto/XProf compatible)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="KEY=VALUE",
+                   help="Override a config value (dotted keys, YAML-parsed "
+                        "values), e.g. --set training.epochs=2 "
+                        "--set mesh.data=1")
     return p.parse_args()
 
 
@@ -128,7 +133,7 @@ def create_model(config, rng):
 
 def main():
     args = parse_args()
-    config = load_config(args.config)
+    config = load_config(args.config, args.overrides)
 
     for dir_path in (config.paths.save_dir, config.paths.log_dir):
         Path(dir_path).mkdir(parents=True, exist_ok=True)

@@ -123,3 +123,26 @@ def test_defaults_match_reference():
     assert cfg.training.max_grad_norm == 1.0  # trainer.py:32
     assert cfg.training.criterion_lr_scale == 0.1  # trainer.py:50
     assert cfg.training.early_stopping_patience == 10
+
+
+def test_load_config_overrides(tmp_path):
+    """--set dotted-key overrides: YAML-parsed values, nested creation."""
+    from gavit_tpu.config import load_config
+
+    p = tmp_path / "c.yaml"
+    p.write_text("model:\n  name: vit_small_16\ndata:\n  batch_size: 32\n")
+    cfg = load_config(str(p), overrides=[
+        "data.batch_size=64",
+        "training.epochs=3",
+        "mesh.data=2",
+        "model.graph.enabled=true",
+    ])
+    assert cfg.data.batch_size == 64
+    assert cfg.training.epochs == 3
+    assert cfg.mesh.data == 2
+    assert cfg.model.graph.enabled is True
+
+    import pytest
+
+    with pytest.raises(ValueError, match="key=value"):
+        load_config(str(p), overrides=["data.batch_size"])

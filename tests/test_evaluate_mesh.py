@@ -1,0 +1,46 @@
+"""Data-sharded evaluation (scripts/evaluate.py): metrics on the 8-device
+mesh must equal the single-device result, including ragged tail batches."""
+
+import jax
+import numpy as np
+
+from gavit_tpu.config import from_dict
+from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
+from gavit_tpu.models.vit import build_model, init_params
+from gavit_tpu.parallel.mesh import make_mesh
+
+from scripts.evaluate import evaluate
+
+
+def _setup():
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 1, "num_heads": 2,
+                  "num_classes": 14},
+        "data": {"batch_size": 16, "image_size": 16},
+    })
+    model = build_model(cfg.model, precision="fp32")
+    params = init_params(model, jax.random.key(0))
+    # 36 % 16 = ragged tail; on the 8-device mesh the tail pads 4 → 8
+    ds = SyntheticChestXrayDataset(size=36, image_size=16, seed=3)
+    loader = DataLoader(ds, 16, shuffle=False, num_workers=1)
+    return cfg, model, params, loader
+
+
+def test_meshed_eval_matches_single_device(tmp_path):
+    cfg, model, params, loader = _setup()
+    mesh8 = make_mesh(cfg.mesh)
+    assert mesh8.devices.size == 8
+    mesh1 = make_mesh(cfg.mesh, devices=jax.devices()[:1])
+
+    r8 = evaluate(model, params, loader, tmp_path / "m8", mesh=mesh8)
+    r1 = evaluate(model, params, loader, tmp_path / "m1", mesh=mesh1)
+    for key in ("mean_auc", "mean_f1", "exact_match"):
+        np.testing.assert_allclose(
+            r8["metrics"][key], r1["metrics"][key], atol=2e-6, err_msg=key
+        )
+    # mesh=None (plain device_put path) agrees too
+    r0 = evaluate(model, params, loader, tmp_path / "m0", mesh=None)
+    np.testing.assert_allclose(
+        r8["metrics"]["mean_auc"], r0["metrics"]["mean_auc"], atol=2e-6
+    )

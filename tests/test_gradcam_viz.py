@@ -135,3 +135,8 @@ def test_visualization_manager_artifacts(tmp_path):
     assert viz.plot_attention_maps(model, params, imgs_n,
                                    images_u8[:2]).exists()
     assert viz.plot_gradcam(model, params, imgs_n, images_u8[:2], 0).exists()
+    # per-layer raw attention heatmaps: one artifact per block
+    # (reference visualization.py:98-130)
+    layer_paths = viz.plot_per_layer_attention(model, params, imgs_n[:1])
+    assert len(layer_paths) == model.cfg.depth
+    assert all(p.exists() for p in layer_paths)

@@ -1,0 +1,113 @@
+"""Fused MLP megakernel (ops/mlp.py): math parity with the composed chain,
+gradient correctness, and checkpoint-compatible parameter trees.
+
+On CPU the op runs its XLA fallback, which shares the exact math (same
+GELU polynomial, same mask derivation, same dtype rounding points) with the
+TPU kernels; bench.py runs the on-hardware selfcheck of the kernel path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gavit_tpu.ops.dropout import _gelu_f32
+from gavit_tpu.ops.mlp import _fallback_mask, fused_mlp, pick_block
+
+
+def _inputs(dtype, m=24, d=32, f=128, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((2, m // 2, d)), dtype)
+    w1 = jnp.asarray(rng.standard_normal((d, f)) * 0.05, dtype)
+    b1 = jnp.asarray(rng.standard_normal(f) * 0.02, dtype)
+    w2 = jnp.asarray(rng.standard_normal((f, d)) * 0.05, dtype)
+    b2 = jnp.asarray(rng.standard_normal(d) * 0.02, dtype)
+    s = jnp.asarray([1234], jnp.int32)
+    return x, w1, b1, w2, b2, s
+
+
+def _reference(x, w1, b1, w2, b2, seed, rate):
+    """Composed-op reference with the fallback's mask (autodiff-able)."""
+    x2 = x.reshape(-1, x.shape[-1])
+    h1 = (jnp.dot(x2, w1, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST) + b1).astype(x.dtype)
+    g = _gelu_f32(h1.astype(jnp.float32))
+    if rate > 0.0:
+        keep = _fallback_mask(seed, g.shape, rate)
+        g = jnp.where(keep, g / (1.0 - rate), 0.0)
+    y = (jnp.dot(g.astype(x.dtype), w2, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST) + b2).astype(x.dtype)
+    return y.reshape(x.shape)
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.3])
+def test_forward_matches_reference(rate):
+    x, w1, b1, w2, b2, s = _inputs(jnp.float32)
+    got = fused_mlp(x, w1, b1, w2, b2, s, rate)
+    want = _reference(x, w1, b1, w2, b2, s, rate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.3])
+def test_gradients_match_reference(rate):
+    """All five input grads vs autodiff of the composed chain. The analytic
+    GELU' differs from autodiff of the rational erf approximation at ~1e-6;
+    tolerances sit well above that, far below training noise."""
+    x, w1, b1, w2, b2, s = _inputs(jnp.float32)
+
+    def loss_fused(x, w1, b1, w2, b2):
+        return jnp.sum(fused_mlp(x, w1, b1, w2, b2, s, rate) ** 2)
+
+    def loss_ref(x, w1, b1, w2, b2):
+        return jnp.sum(_reference(x, w1, b1, w2, b2, s, rate) ** 2)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for g, w, name in zip(got, want, ("x", "w1", "b1", "w2", "b2")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=2e-4, rtol=1e-4,
+            err_msg=name,
+        )
+
+
+def test_same_seed_is_deterministic():
+    x, w1, b1, w2, b2, s = _inputs(jnp.float32)
+    a = fused_mlp(x, w1, b1, w2, b2, s, 0.5)
+    b = fused_mlp(x, w1, b1, w2, b2, s, 0.5)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = fused_mlp(x, w1, b1, w2, b2, jnp.asarray([99], jnp.int32), 0.5)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_pick_block_divides_and_fits():
+    # ViT-B b128 @224px: M=25216 rows → 128 divides
+    assert pick_block(128 * 197, 768, 3072, 2) in (64, 128)
+    # 384px b16: M=16·577, 577 prime → no block ≥32 divides
+    assert pick_block(16 * 577, 768, 3072, 2) is None
+    bm = pick_block(25216, 768, 3072, 2)
+    assert 25216 % bm == 0
+
+
+def test_mlp_module_param_tree_unchanged():
+    """The fused training path must share the parameter tree (fc1/fc2
+    kernel+bias) with the unfused/eval path — checkpoints and the torch
+    converter depend on it."""
+    from gavit_tpu.models.layers import Mlp
+
+    m = Mlp(hidden_dim=64, out_dim=16, drop=0.1, dtype=jnp.float32)
+    x = jnp.ones((2, 8, 16))
+    p_det = m.init({"params": jax.random.key(0)}, x, deterministic=True)
+    p_trn = m.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        x, deterministic=False,
+    )
+    det_tree = jax.tree.map(lambda a: (a.shape, str(a.dtype)), p_det["params"])
+    trn_tree = jax.tree.map(lambda a: (a.shape, str(a.dtype)), p_trn["params"])
+    assert det_tree == trn_tree
+    # params created by either init run under the other mode
+    y = m.apply(p_det, x, deterministic=False,
+                rngs={"dropout": jax.random.key(2)})
+    assert y.shape == (2, 8, 16)
+    y2 = m.apply(p_trn, x, deterministic=True)
+    assert y2.shape == (2, 8, 16)
+    assert np.isfinite(np.asarray(y)).all()
