@@ -83,6 +83,56 @@ def dropout_selfcheck(rate: float = 0.1):
     )
     log("gelu-dropout blocked-grid selfcheck OK")
 
+    # fused-MLP megakernel (ops/mlp.py): the training MLP path. Verify the
+    # kernel against an XLA reference armed with the kernel's own extracted
+    # hardware-PRNG mask streams (out-mask first, then chunked hidden
+    # masks) — forward AND all five gradients, so a fwd/bwd stream
+    # divergence fails the bench loudly.
+    from gavit_tpu.ops import mlp as fm
+    from gavit_tpu.ops.dropout import _gelu_f32
+
+    d, f, m = 256, 1024, 512
+    bm = fm.pick_block(m, d, f, 2)
+    assert bm is not None
+    rng = np.random.default_rng(0)
+    xm = jnp.asarray(rng.standard_normal((m, d)) * 0.5, jnp.bfloat16)
+    w1 = jnp.asarray(rng.standard_normal((d, f)) * 0.03, jnp.bfloat16)
+    b1 = jnp.asarray(rng.standard_normal(f) * 0.01, jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((f, d)) * 0.03, jnp.bfloat16)
+    b2 = jnp.asarray(rng.standard_normal(d) * 0.01, jnp.bfloat16)
+    seed = jnp.asarray([777], jnp.int32)
+    hm, om = fm.kernel_mask(seed, m, f, rate, bm, d=d, out_rate=rate)
+    hm = jnp.asarray(np.asarray(hm) > 0.5)
+    om = jnp.asarray(np.asarray(om) > 0.5)
+    assert abs(float(jnp.mean(hm.astype(jnp.float32))) - (1 - rate)) < 0.02
+    assert abs(float(jnp.mean(om.astype(jnp.float32))) - (1 - rate)) < 0.02
+
+    def mlp_ref(x, w1, b1, w2, b2):
+        h1 = (jnp.dot(x, w1, preferred_element_type=jnp.float32)
+              + b1.reshape(1, -1)).astype(jnp.bfloat16)
+        gg = _gelu_f32(h1.astype(jnp.float32))
+        gg = jnp.where(hm, gg / (1 - rate), 0.0)
+        y = jnp.dot(gg.astype(jnp.bfloat16), w2,
+                    preferred_element_type=jnp.float32) + b2.reshape(1, -1)
+        return jnp.where(om, y / (1 - rate), 0.0).astype(jnp.bfloat16)
+
+    def rel_err(a, b):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        return np.abs(a - b).max() / max(np.abs(b).max(), 1e-6)
+
+    y_f = fm.fused_mlp(xm, w1, b1, w2, b2, seed, rate, rate)
+    assert rel_err(y_f, mlp_ref(xm, w1, b1, w2, b2)) < 2e-2, (
+        "fused MLP forward diverged from its own mask stream")
+    gsum = lambda fn: jax.grad(  # noqa: E731
+        lambda *a: jnp.sum(fn(*a).astype(jnp.float32) ** 2),
+        argnums=(0, 1, 2, 3, 4))
+    gf = gsum(lambda *a: fm.fused_mlp(*a, seed, rate, rate))(
+        xm, w1, b1, w2, b2)
+    gr = gsum(mlp_ref)(xm, w1, b1, w2, b2)
+    for a, b, name in zip(gf, gr, ("x", "w1", "b1", "w2", "b2")):
+        assert rel_err(a, b) < 3e-2, f"fused MLP grad {name} mismatch"
+    log("fused-MLP kernel selfcheck OK (fwd + 5 grads vs extracted masks)")
+
 
 def main():
     import gavit_tpu

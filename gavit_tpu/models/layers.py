@@ -179,24 +179,37 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        if not deterministic and not self.quant and x.ndim == 3:
+        from gavit_tpu.ops.mlp import pick_block
+
+        if (not deterministic and not self.quant and x.ndim == 3
+                and pick_block(x.shape[0] * x.shape[1], x.shape[-1],
+                               self.hidden_dim,
+                               jnp.dtype(self.dtype).itemsize) is not None):
             # training fast path: the whole fc1→GELU→dropout→fc2 chain in
             # one Pallas pass — the [M, hidden] activations never exist in
-            # HBM (ops/mlp.py; XLA-composed fallback off-TPU or when no
-            # clean row block divides M). The trailing output dropout stays
-            # a separate site.
+            # HBM (ops/mlp.py). Shapes without a clean row block (e.g.
+            # 384px's prime token count) keep the round-2 path below
+            # (augmented-GEMM fc1/fc2 + fused GELU+dropout kernel), which
+            # measured faster than any XLA-composed chain there.
             d = x.shape[-1]
             w1, b1 = _DenseParams(self.hidden_dim, d, name="fc1")()
             w2, b2 = _DenseParams(self.out_dim, self.hidden_dim,
                                   name="fc2")()
+            import os
+
             seed = dropout_seed(self.make_rng("dropout"))
+            # the reference MLP's trailing dropout site (vit.py:92-93) is
+            # folded into the same kernel pass as out_rate
+            fold = os.environ.get("GAVIT_MLP_FOLD_OUT", "1") == "1"
             y = fused_mlp(
                 x.astype(self.dtype),
                 w1.astype(self.dtype), b1.astype(self.dtype),
                 w2.astype(self.dtype), b2.astype(self.dtype),
-                seed, self.drop,
+                seed, self.drop, self.drop if fold else 0.0,
             )
-            return FusedDropout(self.drop)(y, deterministic=deterministic)
+            if not fold:
+                y = FusedDropout(self.drop)(y, deterministic=deterministic)
+            return y
         x = QDense(self.hidden_dim, dtype=self.dtype, quant=self.quant,
                    name="fc1")(x, fuse_bias_grad=not deterministic)
         if not deterministic and self.drop > 0.0:

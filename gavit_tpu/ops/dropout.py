@@ -191,6 +191,28 @@ def _gelu_grad_f32(x):
     return cdf + x * phi
 
 
+def _gelu_and_grad_f32(x):
+    """(GELU(x), GELU'(x)) from ONE exp evaluation.
+
+    The A&S erf polynomial evaluates ``exp(-z²)`` at z = x/√2 — which IS
+    the Gaussian pdf term ``exp(-x²/2)`` the derivative needs — so the
+    backward kernels compute both g and g' for one exp + one polynomial
+    instead of three exps + two polynomials (the VPU recompute was ~40% of
+    the MLP backward kernel's time; BASELINE.md r3).
+    """
+    z = x * _INV_SQRT2
+    s = jnp.where(z < 0.0, -1.0, 1.0)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    e = jnp.exp(-az * az)  # = exp(-x²/2)
+    erf = s * (1.0 - poly * e)
+    cdf = 0.5 * (1.0 + erf)
+    phi = e * _INV_SQRT2PI
+    return x * cdf, cdf + x * phi
+
+
 def _gd_seed(seed_ref):
     # unique stream per (image, token-block); fwd and bwd run the SAME grid
     # so the regenerated backward mask matches the forward's exactly

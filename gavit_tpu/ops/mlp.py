@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gavit_tpu.ops.dropout import _gelu_f32, _gelu_grad_f32
+from gavit_tpu.ops.dropout import (_gelu_and_grad_f32, _gelu_f32,
+                                    _gelu_grad_f32)
 
 
 def _on_tpu() -> bool:
@@ -68,7 +69,9 @@ def pick_block(m: int, d: int, f: int, itemsize: int) -> int | None:
         bm = int(env)
         return bm if m % bm == 0 else None
     fixed = (d * f + f * d) * itemsize + (f + d) * 4
-    for bm in (512, 256, 128, 64, 32):
+    # 64 first: measured best at ViT-B b128 (fwd+bwd 6.03 ms vs 6.27 at 128,
+    # 8.46 at 256 — BASELINE.md r3 sweep); larger blocks only if 64 ∤ m
+    for bm in (64, 128, 256, 512, 32):
         if m % bm:
             continue
         # double-buffered streaming blocks + fp32 temporaries (h1, gelu,
@@ -84,59 +87,106 @@ def _mask(bits_shape, rate):
     return bits >= jnp.uint32(int(rate * 0xFFFFFFFF))
 
 
+def _fchunks(f: int) -> int:
+    """Hidden-dim chunk count for the forward kernel's software pipeline.
+
+    The unchunked kernel serialises fc1-MXU → GELU-VPU → fc2-MXU per
+    program (measured 1.71 ms/block vs a 1.21 ms MXU floor at ViT-B b128).
+    Splitting F into chunks breaks the dependency between chunk j's GELU
+    and chunk j+1's fc1 GEMM, letting Mosaic's scheduler overlap VPU and
+    MXU work. The dropout-mask PRNG stream is consumed chunk-by-chunk in
+    the same order by forward and backward, so masks still agree.
+    """
+    n = int(os.environ.get("GAVIT_MLP_FCHUNKS", "4"))
+    while n > 1 and (f % n or (f // n) % 128):
+        n -= 1
+    return max(1, n)
+
+
 def _mlp_fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                    y_ref, h1_ref, *, rate: float):
+                    y_ref, h1_ref, *, rate: float, out_rate: float):
     prec = _prec(x_ref.dtype)
     x = x_ref[...]
-    h1 = jax.lax.dot_general(
-        x, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    ) + b1_ref[...]
-    # round to the storage dtype BEFORE the GELU so forward and backward
-    # (which recomputes from the stored h1) see the same activations
-    h1 = h1.astype(h1_ref.dtype)
-    h1_ref[...] = h1
-    g = _gelu_f32(h1.astype(jnp.float32))
-    if rate > 0.0:
+    f = w1_ref.shape[1]
+    nchunks = _fchunks(f)
+    fc = f // nchunks
+    if rate > 0.0 or out_rate > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        keep = _mask(g.shape, rate)
-        g = jnp.where(keep, g * (1.0 / (1.0 - rate)), 0.0)
-    y = jax.lax.dot_general(
-        g.astype(x.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    ) + b2_ref[...]
+    # output-dropout mask drawn FIRST so the backward (which needs it before
+    # the chunk loop) consumes the PRNG stream in the same order
+    keep2 = (
+        _mask((x.shape[0], w2_ref.shape[1]), out_rate)
+        if out_rate > 0.0 else None
+    )
+    y = b2_ref[...].astype(jnp.float32) * jnp.ones(
+        (x.shape[0], 1), jnp.float32
+    )
+    for j in range(nchunks):
+        sl = slice(j * fc, (j + 1) * fc)
+        h1 = jax.lax.dot_general(
+            x, w1_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) + b1_ref[:, sl]
+        # round to the storage dtype BEFORE the GELU so forward and
+        # backward (which recomputes from the stored h1) agree
+        h1 = h1.astype(h1_ref.dtype)
+        h1_ref[:, sl] = h1
+        g = _gelu_f32(h1.astype(jnp.float32))
+        if rate > 0.0:
+            keep = _mask(g.shape, rate)
+            g = jnp.where(keep, g * (1.0 / (1.0 - rate)), 0.0)
+        y = y + jax.lax.dot_general(
+            g.astype(x.dtype), w2_ref[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+    if keep2 is not None:
+        y = jnp.where(keep2, y * (1.0 / (1.0 - out_rate)), 0.0)
     y_ref[...] = y.astype(y_ref.dtype)
 
 
 def _mlp_bwd_kernel(seed_ref, dy_ref, h1_ref, w2_ref,
-                    dh1_ref, go_ref, db1_ref, db2_ref, *, rate: float):
+                    dh1_ref, go_ref, db1_ref, db2_ref, dye_ref=None, *,
+                    rate: float, out_rate: float):
     prec = _prec(dy_ref.dtype)
     i = pl.program_id(0)
-    dy = dy_ref[...]
-    h1 = h1_ref[...].astype(jnp.float32)
-    g = _gelu_f32(h1)
-    dg = _gelu_grad_f32(h1)
-    if rate > 0.0:
-        # identical stream to the forward program at this grid position
-        pltpu.prng_seed(seed_ref[0] + i)
-        keep = _mask(g.shape, rate)
-        scale = 1.0 / (1.0 - rate)
-        g = jnp.where(keep, g * scale, 0.0)
-        dg = jnp.where(keep, dg * scale, 0.0)
-    dh = jax.lax.dot_general(  # dy · W2ᵀ without materialising the transpose
-        dy, w2_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    dh1 = dh * dg
-    dh1_ref[...] = dh1.astype(dh1_ref.dtype)
-    go_ref[...] = g.astype(go_ref.dtype)
+    f = h1_ref.shape[1]
+    nchunks = _fchunks(f)
+    fc = f // nchunks
 
     @pl.when(i == 0)
     def _init():
         db1_ref[...] = jnp.zeros(db1_ref.shape, db1_ref.dtype)
         db2_ref[...] = jnp.zeros(db2_ref.shape, db2_ref.dtype)
 
-    db1_ref[...] += jnp.sum(dh1, axis=0, keepdims=True)
+    if rate > 0.0 or out_rate > 0.0:
+        # identical stream to the forward program at this grid position —
+        # out-mask first, then the chunk-by-chunk hidden masks
+        pltpu.prng_seed(seed_ref[0] + i)
+    dy = dy_ref[...]
+    if out_rate > 0.0:
+        keep2 = _mask(dy.shape, out_rate)
+        dy = jnp.where(keep2, dy.astype(jnp.float32)
+                       * (1.0 / (1.0 - out_rate)), 0.0).astype(dy.dtype)
+        # the effective (post-out-dropout) upstream gradient, needed in HBM
+        # by the XLA dW2 GEMM
+        dye_ref[...] = dy
+    for j in range(nchunks):
+        sl = slice(j * fc, (j + 1) * fc)
+        h1 = h1_ref[:, sl].astype(jnp.float32)
+        g, dg = _gelu_and_grad_f32(h1)  # one exp for both (BASELINE.md r3)
+        if rate > 0.0:
+            keep = _mask(g.shape, rate)
+            scale = 1.0 / (1.0 - rate)
+            g = jnp.where(keep, g * scale, 0.0)
+            dg = jnp.where(keep, dg * scale, 0.0)
+        dh = jax.lax.dot_general(  # dy · W2[sl]ᵀ, transpose never built
+            dy, w2_ref[sl, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dh1 = dh * dg
+        dh1_ref[:, sl] = dh1.astype(dh1_ref.dtype)
+        go_ref[:, sl] = g.astype(go_ref.dtype)
+        db1_ref[:, sl] += jnp.sum(dh1, axis=0, keepdims=True)
     db2_ref[...] += jnp.sum(dy.astype(jnp.float32), axis=0, keepdims=True)
 
 
@@ -150,11 +200,11 @@ def _row_spec(bm, cols):
                         memory_space=pltpu.VMEM)
 
 
-def _run_fwd(x2, w1, b1, w2, b2, seed, rate, bm):
+def _run_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate, bm):
     m, d = x2.shape
     f = w1.shape[1]
     y, h1 = pl.pallas_call(
-        functools.partial(_mlp_fwd_kernel, rate=rate),
+        functools.partial(_mlp_fwd_kernel, rate=rate, out_rate=out_rate),
         grid=(m // bm,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -182,11 +232,27 @@ def _run_fwd(x2, w1, b1, w2, b2, seed, rate, bm):
     return y, h1
 
 
-def _run_bwd(dy2, h1, w2, seed, rate, bm):
+def _run_bwd(dy2, h1, w2, seed, rate, out_rate, bm):
     m, d = dy2.shape
     f = h1.shape[1]
-    dh1, go, db1, db2 = pl.pallas_call(
-        functools.partial(_mlp_bwd_kernel, rate=rate),
+    out_specs = [
+        _row_spec(bm, f),
+        _row_spec(bm, f),
+        _const_spec((1, f)),
+        _const_spec((1, d)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((m, f), dy2.dtype),
+        jax.ShapeDtypeStruct((m, f), dy2.dtype),
+        jax.ShapeDtypeStruct((1, f), jnp.float32),
+        jax.ShapeDtypeStruct((1, d), jnp.float32),
+    ]
+    if out_rate > 0.0:
+        # the post-out-dropout upstream gradient, consumed by the dW2 GEMM
+        out_specs.append(_row_spec(bm, d))
+        out_shape.append(jax.ShapeDtypeStruct((m, d), dy2.dtype))
+    outs = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, rate=rate, out_rate=out_rate),
         grid=(m // bm,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -194,18 +260,8 @@ def _run_bwd(dy2, h1, w2, seed, rate, bm):
             _row_spec(bm, f),
             _const_spec((f, d)),
         ],
-        out_specs=[
-            _row_spec(bm, f),
-            _row_spec(bm, f),
-            _const_spec((1, f)),
-            _const_spec((1, d)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((m, f), dy2.dtype),
-            jax.ShapeDtypeStruct((m, f), dy2.dtype),
-            jax.ShapeDtypeStruct((1, f), jnp.float32),
-            jax.ShapeDtypeStruct((1, d), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             # sequential grid: the bias-grad outputs accumulate across steps
             dimension_semantics=("arbitrary",),
@@ -217,25 +273,47 @@ def _run_bwd(dy2, h1, w2, seed, rate, bm):
             transcendentals=2 * m * f,
         ),
     )(seed, dy2, h1, w2)
-    return dh1, go, db1, db2
+    if out_rate > 0.0:
+        dh1, go, db1, db2, dye = outs
+    else:
+        (dh1, go, db1, db2), dye = outs, dy2
+    return dh1, go, db1, db2, dye
 
 
-def kernel_mask(seed, m: int, f: int, rate: float, bm: int):
-    """The exact keep-mask stream the TPU kernels generate for an [m, f]
-    site at row block ``bm`` (same grid, same per-program seeding) — 0/1
-    fp32, for on-hardware selfchecks (bench.py) only."""
+def kernel_mask(seed, m: int, f: int, rate: float, bm: int,
+                d: int = 0, out_rate: float = 0.0):
+    """The exact keep-mask stream the TPU kernels generate — out-mask
+    [m, d] first (when ``out_rate > 0``), then the chunked hidden mask
+    [m, f] — 0/1 fp32, for on-hardware selfchecks (bench.py) only.
+    Returns (hidden_mask, out_mask_or_None)."""
 
-    def kern(seed_ref, o_ref):
+    def kern(seed_ref, o_ref, o2_ref=None):
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        o_ref[...] = _mask(o_ref.shape, rate).astype(o_ref.dtype)
+        if o2_ref is not None:
+            o2_ref[...] = _mask((o2_ref.shape[0], d), out_rate).astype(
+                o2_ref.dtype)
+        nchunks = _fchunks(f)
+        fc = f // nchunks
+        for j in range(nchunks):  # consume the stream exactly like fwd/bwd
+            sl = slice(j * fc, (j + 1) * fc)
+            o_ref[:, sl] = _mask((o_ref.shape[0], fc), rate).astype(
+                o_ref.dtype)
 
-    return pl.pallas_call(
+    out_specs = [_row_spec(bm, f)]
+    out_shape = [jax.ShapeDtypeStruct((m, f), jnp.float32)]
+    if out_rate > 0.0:
+        out_specs.append(_row_spec(bm, d))
+        out_shape.append(jax.ShapeDtypeStruct((m, d), jnp.float32))
+    outs = pl.pallas_call(
         kern,
         grid=(m // bm,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=_row_spec(bm, f),
-        out_shape=jax.ShapeDtypeStruct((m, f), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
     )(seed)
+    if out_rate > 0.0:
+        return outs[0], outs[1]
+    return outs[0], None
 
 
 # ---------------------------------------------------------------------------
@@ -249,7 +327,7 @@ def _fallback_mask(seed, shape, rate):
     )
 
 
-def _fallback_fwd(x2, w1, b1, w2, b2, seed, rate):
+def _fallback_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate):
     prec = _prec(x2.dtype)
     h1 = (jnp.dot(x2, w1, preferred_element_type=jnp.float32, precision=prec)
           + b1).astype(x2.dtype)
@@ -258,15 +336,21 @@ def _fallback_fwd(x2, w1, b1, w2, b2, seed, rate):
         keep = _fallback_mask(seed, g.shape, rate)
         g = jnp.where(keep, g * (1.0 / (1.0 - rate)), 0.0)
     y = (jnp.dot(g.astype(x2.dtype), w2, preferred_element_type=jnp.float32,
-                 precision=prec) + b2).astype(x2.dtype)
-    return y, h1
+                 precision=prec) + b2)
+    if out_rate > 0.0:
+        keep2 = _fallback_mask(seed, y.shape, out_rate)
+        y = jnp.where(keep2, y * (1.0 / (1.0 - out_rate)), 0.0)
+    return y.astype(x2.dtype), h1
 
 
-def _fallback_bwd(dy2, h1, w2, seed, rate):
+def _fallback_bwd(dy2, h1, w2, seed, rate, out_rate):
     prec = _prec(dy2.dtype)
+    if out_rate > 0.0:
+        keep2 = _fallback_mask(seed, dy2.shape, out_rate)
+        dy2 = jnp.where(keep2, dy2.astype(jnp.float32)
+                        * (1.0 / (1.0 - out_rate)), 0.0).astype(dy2.dtype)
     h1f = h1.astype(jnp.float32)
-    g = _gelu_f32(h1f)
-    dg = _gelu_grad_f32(h1f)
+    g, dg = _gelu_and_grad_f32(h1f)
     if rate > 0.0:
         keep = _fallback_mask(seed, g.shape, rate)
         scale = 1.0 / (1.0 - rate)
@@ -279,7 +363,7 @@ def _fallback_bwd(dy2, h1, w2, seed, rate):
     dh1 = dh * dg
     db1 = jnp.sum(dh1, axis=0, keepdims=True)
     db2 = jnp.sum(dy2.astype(jnp.float32), axis=0, keepdims=True)
-    return dh1.astype(dy2.dtype), g.astype(dy2.dtype), db1, db2
+    return dh1.astype(dy2.dtype), g.astype(dy2.dtype), db1, db2, dy2
 
 
 # ---------------------------------------------------------------------------
@@ -287,56 +371,63 @@ def _fallback_bwd(dy2, h1, w2, seed, rate):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def fused_mlp(x, w1, b1, w2, b2, seed, rate: float):
-    """dropout(GELU_exact(x·W1 + b1))·W2 + b2 with the hidden activations
-    never leaving VMEM.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_mlp(x, w1, b1, w2, b2, seed, rate: float, out_rate: float = 0.0):
+    """out_dropout(dropout(GELU_exact(x·W1 + b1))·W2 + b2) with the hidden
+    activations never leaving VMEM.
 
     Args:
       x: [B, N, D] (or [M, D]) activations.
       w1: [D, F]; b1: [F]; w2: [F, D]; b2: [D] — already cast to x.dtype.
       seed: int32 [1] kernel PRNG seed (``dropout_seed``).
-      rate: static dropout rate (0.0 → no PRNG use).
+      rate: static hidden dropout rate (0.0 → no PRNG use).
+      out_rate: static OUTPUT dropout rate — folds the reference MLP's
+        trailing dropout site (``vit.py:92-93``) into the same pass.
     Returns:
-      [B, N, D] output. Backward regenerates the dropout mask from the seed
-      (never stored) and recomputes the dropped activations for dW2.
+      [B, N, D] output. Backward regenerates both dropout masks from the
+      seed (never stored) and recomputes the dropped activations for dW2.
     """
-    y, _ = _fused_mlp_fwd(x, w1, b1, w2, b2, seed, rate)
+    y, _ = _fused_mlp_fwd(x, w1, b1, w2, b2, seed, rate, out_rate)
     return y
 
 
-def _fused_mlp_fwd(x, w1, b1, w2, b2, seed, rate):
+def _fused_mlp_fwd(x, w1, b1, w2, b2, seed, rate, out_rate):
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     b1r = b1.reshape(1, -1)
     b2r = b2.reshape(1, -1)
     bm = pick_block(x2.shape[0], w1.shape[0], w1.shape[1], x2.dtype.itemsize)
     if _on_tpu() and bm is not None:
-        y, h1 = _run_fwd(x2, w1, b1r, w2, b2r, seed, rate, bm)
+        y, h1 = _run_fwd(x2, w1, b1r, w2, b2r, seed, rate, out_rate, bm)
     else:
-        y, h1 = _fallback_fwd(x2, w1, b1r, w2, b2r, seed, rate)
+        y, h1 = _fallback_fwd(x2, w1, b1r, w2, b2r, seed, rate, out_rate)
     return y.reshape(shape), (x2, h1, w1, w2, seed, shape)
 
 
-def _fused_mlp_bwd(rate, res, gy):
+def _fused_mlp_bwd(rate, out_rate, res, gy):
     x2, h1, w1, w2, seed, shape = res
     dy2 = gy.reshape(-1, gy.shape[-1]).astype(x2.dtype)
     bm = pick_block(x2.shape[0], w1.shape[0], w1.shape[1], x2.dtype.itemsize)
     if _on_tpu() and bm is not None:
-        dh1, go, db1, db2 = _run_bwd(dy2, h1, w2, seed, rate, bm)
+        dh1, go, db1, db2, dye = _run_bwd(dy2, h1, w2, seed, rate, out_rate,
+                                          bm)
     else:
-        dh1, go, db1, db2 = _fallback_bwd(dy2, h1, w2, seed, rate)
+        dh1, go, db1, db2, dye = _fallback_bwd(dy2, h1, w2, seed, rate,
+                                               out_rate)
     prec = _prec(x2.dtype)
-    dx = jax.lax.dot_general(  # dh1 · W1ᵀ
+    dx_dtype = (jnp.float32 if os.environ.get("GAVIT_MLP_DX_F32") == "1"
+                else x2.dtype)
+    dx = jax.lax.dot_general(  # dh1 · W1ᵀ — output dtype matches x (no
+        # separate convert pass; bf16 GEMMs still accumulate fp32 on the MXU)
         dh1, w1, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
+        preferred_element_type=dx_dtype, precision=prec,
     ).astype(x2.dtype)
     dw1 = jax.lax.dot_general(  # xᵀ · dh1 (contract rows)
         x2, dh1, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     ).astype(w1.dtype)
-    dw2 = jax.lax.dot_general(  # goᵀ · dy
-        go, dy2, (((0,), (0,)), ((), ())),
+    dw2 = jax.lax.dot_general(  # goᵀ · dy_eff
+        go, dye, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     ).astype(w2.dtype)
     return (dx.reshape(shape), dw1, db1.reshape(-1).astype(w1.dtype),

@@ -175,10 +175,14 @@ def main():
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--dataset", choices=["nih", "chexpert", "synthetic"],
                         required=True)
+    parser.add_argument("--set", action="append", default=[],
+                        dest="overrides", metavar="KEY=VALUE",
+                        help="Override a config value (dotted keys, "
+                             "YAML-parsed values)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
-    config = load_config(args.config)
+    config = load_config(args.config, args.overrides)
     save_dir = Path(config.paths.save_dir) / "evaluation"
     save_dir.mkdir(parents=True, exist_ok=True)
 

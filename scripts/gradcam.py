@@ -96,10 +96,14 @@ def main():
                              "per-disease CAM analysis figures")
     parser.add_argument("--bbox-source-size", type=int, default=1024,
                         help="resolution the bbox coordinates refer to")
+    parser.add_argument("--set", action="append", default=[],
+                        dest="overrides", metavar="KEY=VALUE",
+                        help="Override a config value (dotted keys, "
+                             "YAML-parsed values)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
-    config = load_config(args.config)
+    config = load_config(args.config, args.overrides)
     out_dir = args.out or os.path.join(config.paths.save_dir, "gradcam")
 
     from scripts.evaluate import load_model

@@ -115,7 +115,7 @@ def main():
     from gavit_tpu.config import load_config
     from gavit_tpu.serving import Predictor
 
-    config = load_config(args.config)
+    config = load_config(args.config, args.overrides)
     predictor = Predictor(config, args.checkpoint or None,
                           precision=args.precision)
     if not args.no_warmup:

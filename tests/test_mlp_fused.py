@@ -26,7 +26,7 @@ def _inputs(dtype, m=24, d=32, f=128, seed=0):
     return x, w1, b1, w2, b2, s
 
 
-def _reference(x, w1, b1, w2, b2, seed, rate):
+def _reference(x, w1, b1, w2, b2, seed, rate, out_rate=0.0):
     """Composed-op reference with the fallback's mask (autodiff-able)."""
     x2 = x.reshape(-1, x.shape[-1])
     h1 = (jnp.dot(x2, w1, preferred_element_type=jnp.float32,
@@ -35,31 +35,36 @@ def _reference(x, w1, b1, w2, b2, seed, rate):
     if rate > 0.0:
         keep = _fallback_mask(seed, g.shape, rate)
         g = jnp.where(keep, g / (1.0 - rate), 0.0)
-    y = (jnp.dot(g.astype(x.dtype), w2, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST) + b2).astype(x.dtype)
-    return y.reshape(x.shape)
+    y = jnp.dot(g.astype(x.dtype), w2, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + b2
+    if out_rate > 0.0:
+        keep2 = _fallback_mask(seed, y.shape, out_rate)
+        y = jnp.where(keep2, y / (1.0 - out_rate), 0.0)
+    return y.astype(x.dtype).reshape(x.shape)
 
 
-@pytest.mark.parametrize("rate", [0.0, 0.3])
-def test_forward_matches_reference(rate):
+@pytest.mark.parametrize("rate,out_rate", [(0.0, 0.0), (0.3, 0.0),
+                                           (0.3, 0.2), (0.0, 0.2)])
+def test_forward_matches_reference(rate, out_rate):
     x, w1, b1, w2, b2, s = _inputs(jnp.float32)
-    got = fused_mlp(x, w1, b1, w2, b2, s, rate)
-    want = _reference(x, w1, b1, w2, b2, s, rate)
+    got = fused_mlp(x, w1, b1, w2, b2, s, rate, out_rate)
+    want = _reference(x, w1, b1, w2, b2, s, rate, out_rate)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
-@pytest.mark.parametrize("rate", [0.0, 0.3])
-def test_gradients_match_reference(rate):
+@pytest.mark.parametrize("rate,out_rate", [(0.0, 0.0), (0.3, 0.0),
+                                           (0.3, 0.2)])
+def test_gradients_match_reference(rate, out_rate):
     """All five input grads vs autodiff of the composed chain. The analytic
     GELU' differs from autodiff of the rational erf approximation at ~1e-6;
     tolerances sit well above that, far below training noise."""
     x, w1, b1, w2, b2, s = _inputs(jnp.float32)
 
     def loss_fused(x, w1, b1, w2, b2):
-        return jnp.sum(fused_mlp(x, w1, b1, w2, b2, s, rate) ** 2)
+        return jnp.sum(fused_mlp(x, w1, b1, w2, b2, s, rate, out_rate) ** 2)
 
     def loss_ref(x, w1, b1, w2, b2):
-        return jnp.sum(_reference(x, w1, b1, w2, b2, s, rate) ** 2)
+        return jnp.sum(_reference(x, w1, b1, w2, b2, s, rate, out_rate) ** 2)
 
     got = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
     want = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
