@@ -52,10 +52,11 @@ def _prec(dtype):
 
 import os
 
-# v5e VMEM is 128 MB/core; the kernels keep both weight matrices resident
-# (9.4 MB at ViT-B) plus streaming row blocks, so the default Mosaic cap
-# (~16 MB) must be raised explicitly. Overridable for perf probes.
-_VMEM_LIMIT = int(os.environ.get("GAVIT_MLP_VMEM_MB", "100")) * 1024 * 1024
+# 16 MB measured fastest: raising the Mosaic VMEM cap to 100 MB REGRESSED
+# the train step 1.5-3 ms (r3 probe4 bisect — looser buffer policy hurts
+# pipelining more than the headroom helps). At 16 MB the ViT-B working set
+# (both weights resident, 9.4 MB + bm=64 streaming blocks) still fits.
+_VMEM_LIMIT = int(os.environ.get("GAVIT_MLP_VMEM_MB", "16")) * 1024 * 1024
 _VMEM_BUDGET = int(0.8 * _VMEM_LIMIT)
 
 

@@ -95,8 +95,8 @@ def test_v4_fits_dispatch_boundary():
     """224px ViT-B fits the flat-row kernel; 384px backward must not."""
     from gavit_tpu.ops.attention import _v4_fits
 
-    assert _v4_fits(128, 12, 197, 64, 2)        # ViT-B/16 @224, bf16
-    assert not _v4_fits(16, 12, 577, 64, 2)     # ViT-B/16 @384 backward
+    assert _v4_fits(12, 197, 64, 2)        # ViT-B/16 @224, bf16
+    assert not _v4_fits(12, 577, 64, 2)    # ViT-B/16 @384 backward
 
 
 def test_v4_all_model_scales():
@@ -198,5 +198,5 @@ def test_v4_fwd_only_backward_fallback():
     np.testing.assert_allclose(np.asarray(g_fallback), np.asarray(g_v3),
                                atol=1e-5)
     # the real 384px regime: fwd fits, full does not
-    assert _v4_fits(16, 12, 577, 64, 2, fwd_only=True)
-    assert not _v4_fits(16, 12, 577, 64, 2)
+    assert _v4_fits(12, 577, 64, 2, fwd_only=True)
+    assert not _v4_fits(12, 577, 64, 2)

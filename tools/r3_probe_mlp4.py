@@ -60,11 +60,9 @@ print(f"RESULT {best*1000:.1f} ms/step {bs/best:.0f} img/s", flush=True)
 """ % {"repo": REPO}
 
 COMBOS = [
-    ("fold0_dxbf16_v100", {"GAVIT_MLP_FOLD_OUT": "0"}),
-    ("fold1_dxf32_v100", {"GAVIT_MLP_DX_F32": "1"}),
-    ("fold1_dxbf16_v16", {"GAVIT_MLP_VMEM_MB": "16"}),
-    ("fold0_dxf32_v16", {"GAVIT_MLP_FOLD_OUT": "0", "GAVIT_MLP_DX_F32": "1",
-                         "GAVIT_MLP_VMEM_MB": "16"}),
+    ("fold0_dxbf16_v16", {"GAVIT_MLP_FOLD_OUT": "0",
+                          "GAVIT_MLP_VMEM_MB": "16"}),
+    ("fold1_dxbf16_v16_repeat", {"GAVIT_MLP_VMEM_MB": "16"}),
 ]
 
 if __name__ == "__main__":
