@@ -169,19 +169,26 @@ class _DenseParams(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Dense → GELU(exact) → drop → Dense → drop (``vit.py:75-94``)."""
+    """Dense → GELU(exact) → drop → Dense → drop (``vit.py:75-94``).
+
+    ``impl``: 'auto'/'pallas' use the fused megakernel on the training
+    path; 'xla' forces the composed chain — REQUIRED under tensor
+    parallelism, where the kernel is opaque to GSPMD and would gather the
+    'model'-sharded weights."""
 
     hidden_dim: int
     out_dim: int
     drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         from gavit_tpu.ops.mlp import pick_block
 
         if (not deterministic and not self.quant and x.ndim == 3
+                and self.impl in ("auto", "pallas")
                 and pick_block(x.shape[0] * x.shape[1], x.shape[-1],
                                self.hidden_dim,
                                jnp.dtype(self.dtype).itemsize) is not None):
@@ -387,6 +394,7 @@ class Block(nn.Module):
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    mlp_impl: str = "auto"
     quant: bool = False
 
     @nn.compact
@@ -420,7 +428,8 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
         h = Mlp(
             hidden_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
-            drop=self.drop, dtype=self.dtype, quant=self.quant, name="mlp",
+            drop=self.drop, dtype=self.dtype, quant=self.quant,
+            impl=self.mlp_impl, name="mlp",
         )(h.astype(self.dtype), deterministic)
         x = residual(x, h)
         if return_probs:

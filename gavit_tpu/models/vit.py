@@ -40,6 +40,7 @@ class VisionTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     graph_impl: str = "auto"
+    mlp_impl: str = "auto"
     # int8 dynamic-quantised GEMMs (serving PTQ; 2x MXU peak on v5e)
     quant: bool = False
 
@@ -110,6 +111,7 @@ class VisionTransformer(nn.Module):
                 qkv_bias=cfg.qkv_bias, drop=cfg.drop_rate,
                 attn_drop=cfg.attn_drop_rate, drop_path_rate=dpr[i],
                 dtype=self.dtype, attn_impl=self.attn_impl,
+                mlp_impl=self.mlp_impl,
                 quant=self.quant, name=f"blocks_{i}",
             )(x, deterministic, capture == "attention")
             if capture == "attention":
@@ -144,13 +146,14 @@ class VisionTransformer(nn.Module):
 
 
 def build_model(cfg: ModelConfig, *, precision: str = "fp32",
-                attn_impl: str = "auto", graph_impl: str = "auto"):
+                attn_impl: str = "auto", graph_impl: str = "auto",
+                mlp_impl: str = "auto"):
     """precision: 'fp32' (parity eval) | 'bf16' (training/serving) |
     'int8' (PTQ serving: int8 GEMMs, bf16 elsewhere)."""
     dtype = jnp.float32 if precision == "fp32" else jnp.bfloat16
     return VisionTransformer(
         cfg=cfg, dtype=dtype, attn_impl=attn_impl, graph_impl=graph_impl,
-        quant=(precision == "int8"),
+        mlp_impl=mlp_impl, quant=(precision == "int8"),
     )
 
 

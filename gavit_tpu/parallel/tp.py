@@ -97,9 +97,11 @@ def train_state_shardings(mesh: Mesh, tx, state):
             and tuple(s.mesh.axis_names) == tuple(mesh.axis_names)
             and s.mesh.devices.tolist() == mesh.devices.tolist()
         )
-        if not ok and jnp.ndim(x) > 0:
-            # a non-scalar moment silently degrading to replication is an
-            # HBM regression under TP — make it visible
+        if not ok and jnp.ndim(x) > 0 and isinstance(s, NamedSharding):
+            # a NamedSharding on some OTHER mesh means GSPMD propagated a
+            # real (possibly sharded) layout we are about to discard — a
+            # silent HBM regression under TP. (SingleDeviceSharding leaves
+            # are the expected input-independent case: replicated state.)
             logger.warning(
                 "optimizer-state leaf %s fell back to replicated "
                 "(propagated sharding %r is not on the TP mesh)",

@@ -108,7 +108,7 @@ class Trainer:
             # scripts/train.py already builds TP models with the XLA impls;
             # enforce the same invariant for direct Trainer construction.
             fixed = {}
-            for attr in ("attn_impl", "graph_impl"):
+            for attr in ("attn_impl", "graph_impl", "mlp_impl"):
                 if getattr(model, attr, "xla") not in ("xla", "reference"):
                     fixed[attr] = "xla"
             if fixed:

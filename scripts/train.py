@@ -117,7 +117,7 @@ def create_model(config, rng):
     # Pallas kernels are opaque to GSPMD, so TP runs take the XLA impls
     # (gavit_tpu/parallel/tp.py docstring) — DP keeps the fused kernels
     impl = (
-        {"attn_impl": "xla", "graph_impl": "xla"}
+        {"attn_impl": "xla", "graph_impl": "xla", "mlp_impl": "xla"}
         if config.mesh.model > 1 else {}
     )
     model = build_model(
