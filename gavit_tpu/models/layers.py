@@ -217,6 +217,26 @@ class Mlp(nn.Module):
             if not fold:
                 y = FusedDropout(self.drop)(y, deterministic=deterministic)
             return y
+        if (deterministic and not self.quant and x.ndim == 3
+                and self.impl in ("auto", "pallas")
+                and pick_block(x.shape[0] * x.shape[1], x.shape[-1],
+                               self.hidden_dim,
+                               jnp.dtype(self.dtype).itemsize) is not None):
+            # serving fast path: same megakernel shape, tanh GELU on bf16
+            # (erf for fp32 — but fp32 weights never fit the VMEM budget, so
+            # the fp32 parity path always takes the XLA chain below)
+            from gavit_tpu.ops.mlp import fused_mlp_inference
+
+            d = x.shape[-1]
+            w1, b1 = _DenseParams(self.hidden_dim, d, name="fc1")()
+            w2, b2 = _DenseParams(self.out_dim, self.hidden_dim,
+                                  name="fc2")()
+            return fused_mlp_inference(
+                x.astype(self.dtype),
+                w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype),
+                self.dtype == jnp.bfloat16,
+            )
         x = QDense(self.hidden_dim, dtype=self.dtype, quant=self.quant,
                    name="fc1")(x, fuse_bias_grad=not deterministic)
         if not deterministic and self.drop > 0.0:

@@ -436,3 +436,107 @@ def _fused_mlp_bwd(rate, out_rate, res, gy):
 
 
 fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# deterministic (inference) megakernel
+# ---------------------------------------------------------------------------
+
+
+def _gelu_tanh_f32(x):
+    c = 0.7978845608028654  # sqrt(2/pi)
+    u = c * (x + 0.044715 * x * x * x)
+    return 0.5 * x * (1.0 + jnp.tanh(u))
+
+
+def _mlp_infer_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref, *,
+                      approximate: bool):
+    prec = _prec(x_ref.dtype)
+    x = x_ref[...]
+    h1 = (jax.lax.dot_general(
+        x, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) + b1_ref[...]).astype(x.dtype)
+    h1 = h1.astype(jnp.float32)
+    g = _gelu_tanh_f32(h1) if approximate else _gelu_f32(h1)
+    y = jax.lax.dot_general(
+        g.astype(x.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) + b2_ref[...]
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
+def _chain_infer(x2, w1, b1, w2, b2, approximate):
+    prec = _prec(x2.dtype)
+    h1 = (jnp.dot(x2, w1, preferred_element_type=jnp.float32, precision=prec)
+          + b1).astype(x2.dtype)
+    g = jax.nn.gelu(h1.astype(jnp.float32), approximate=approximate)
+    return (jnp.dot(g.astype(x2.dtype), w2,
+                    preferred_element_type=jnp.float32, precision=prec)
+            + b2).astype(x2.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_mlp_inference(x, w1, b1, w2, b2, approximate: bool = True):
+    """GELU(x·W1+b1)·W2+b2 with the hidden activations VMEM-resident — the
+    deterministic (serving) twin of :func:`fused_mlp`. Removes the
+    [M, hidden] HBM write+read pair per layer (~0.38 ms/layer at ViT-B b64).
+
+    ``approximate=True`` uses the tanh GELU (measured fastest forward-only;
+    BASELINE.md r2) — the bf16 serving form; exact-erf when False. The VJP
+    recomputes through the XLA chain (Grad-CAM's token-probe gradients are
+    not a serving hot path)."""
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    b1r, b2r = b1.reshape(1, -1), b2.reshape(1, -1)
+    bm = pick_block(x2.shape[0], w1.shape[0], w1.shape[1], x2.dtype.itemsize)
+    if not (_on_tpu() and bm is not None):
+        return _chain_infer(x2, w1, b1r, w2, b2r, approximate).reshape(shape)
+    m, d = x2.shape
+    f = w1.shape[1]
+    y = pl.pallas_call(
+        functools.partial(_mlp_infer_kernel, approximate=approximate),
+        grid=(m // bm,),
+        in_specs=[
+            _row_spec(bm, d),
+            _const_spec((d, f)),
+            _const_spec((1, f)),
+            _const_spec((f, d)),
+            _const_spec((1, d)),
+        ],
+        out_specs=_row_spec(bm, d),
+        out_shape=jax.ShapeDtypeStruct((m, d), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * d * f,
+            bytes_accessed=(2 * m * d + 2 * d * f) * x2.dtype.itemsize,
+            transcendentals=m * f,
+        ),
+    )(x2, w1, b1r, w2, b2r)
+    return y.reshape(shape)
+
+
+def _fmi_fwd(x, w1, b1, w2, b2, approximate):
+    return (fused_mlp_inference(x, w1, b1, w2, b2, approximate),
+            (x, w1, b1, w2, b2))
+
+
+def _fmi_bwd(approximate, res, gy):
+    x, w1, b1, w2, b2 = res
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    gy2 = gy.reshape(-1, gy.shape[-1])
+
+    def chain(x2, w1, b1, w2, b2):
+        return _chain_infer(x2, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
+                            approximate)
+
+    _, vjp = jax.vjp(chain, x2, w1, b1, w2, b2)
+    dx, dw1, db1, dw2, db2 = vjp(gy2.astype(x2.dtype))
+    return dx.reshape(shape), dw1, db1, dw2, db2
+
+
+fused_mlp_inference.defvjp(_fmi_fwd, _fmi_bwd)

@@ -116,3 +116,59 @@ def test_mlp_module_param_tree_unchanged():
     y2 = m.apply(p_trn, x, deterministic=True)
     assert y2.shape == (2, 8, 16)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_inference_kernel_matches_chain_and_grads():
+    """Deterministic megakernel (serving path): forward == the composed
+    chain; VJP (Grad-CAM's token probes differentiate the deterministic
+    model) matches autodiff of the chain."""
+    from gavit_tpu.ops.mlp import fused_mlp_inference
+
+    x, w1, b1, w2, b2, _ = _inputs(jnp.float32)
+    for approx in (False, True):
+        got = fused_mlp_inference(x, w1, b1, w2, b2, approx)
+        h1 = (jnp.dot(x.reshape(-1, x.shape[-1]), w1,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+              + b1).astype(x.dtype)
+        g = jax.nn.gelu(h1.astype(jnp.float32), approximate=approx)
+        want = (jnp.dot(g.astype(x.dtype), w2,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                + b2).reshape(x.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+
+        gk = jax.grad(lambda *a: jnp.sum(
+            fused_mlp_inference(*a, approx) ** 2),
+            argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+        gr = jax.grad(lambda x, w1, b1, w2, b2: jnp.sum((
+            (jnp.dot(jax.nn.gelu(
+                (jnp.dot(x.reshape(-1, x.shape[-1]), w1,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST) + b1
+                 ).astype(jnp.float32), approximate=approx).astype(x.dtype),
+                w2, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + b2)
+        ).reshape(x.shape) ** 2), argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+        for a, b, name in zip(gk, gr, ("x", "w1", "b1", "w2", "b2")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-4, err_msg=name)
+
+
+def test_mlp_module_deterministic_uses_inference_path():
+    """The Mlp module's deterministic output stays consistent whether the
+    inference megakernel path or the composed chain runs (CPU fallback
+    shares the math)."""
+    from gavit_tpu.models.layers import Mlp
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 16, 32)), jnp.float32)
+    m_auto = Mlp(hidden_dim=128, out_dim=32, drop=0.1, dtype=jnp.float32)
+    m_xla = Mlp(hidden_dim=128, out_dim=32, drop=0.1, dtype=jnp.float32,
+                impl="xla")
+    p = m_auto.init({"params": jax.random.key(0)}, x, deterministic=True)
+    y_auto = m_auto.apply(p, x, deterministic=True)
+    y_xla = m_xla.apply(p, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_xla),
+                               atol=1e-6)
