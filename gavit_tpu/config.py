@@ -288,10 +288,19 @@ class MeshConfig:
     The reference is single-device (``scripts/train.py:133``); this section is
     the TPU-native replacement: a ('data',) mesh over ICI with pjit-sharded
     batches and psum-averaged gradients.
+
+    ``fsdp`` turns on ZeRO-3-style fully-sharded data parallelism: parameters
+    and optimizer moments are sharded along the 'data' axis (GSPMD inserts
+    the all-gathers on use and reduce-scatters the gradients), cutting the
+    per-chip state memory ~data-axis-fold for large models. Leaves smaller
+    than ``fsdp_min_size`` elements stay replicated (gather overhead beats
+    the memory win there). Composes with tensor parallelism ('model' axis).
     """
 
     data: int = -1
     model: int = 1
+    fsdp: bool = False
+    fsdp_min_size: int = 4096
     extra: dict = field(default_factory=dict)
 
 

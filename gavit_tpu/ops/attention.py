@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gavit_tpu.parallel.op_sharding import batch_partitioned_cached
+
 _LANE = 128
 _NEG_INF = -1e30
 
@@ -189,6 +191,13 @@ def _fused_attention(q, k, v, scale):
 
 
 def _run_fwd(q, k, v, scale):
+    # batch_partitioned: under a data-sharded mesh the kernel runs on each
+    # chip's local rows instead of GSPMD replicating the opaque Mosaic call
+    # (which would all-gather the global batch — see parallel/op_sharding.py)
+    return batch_partitioned_cached(_run_fwd_v1_impl, 3, 1, scale)(q, k, v)
+
+
+def _run_fwd_v1_impl(q, k, v, scale):
     b, h, n, d = q.shape
     n_pad = max(_round_up(n, _LANE), _LANE)
     qf = _pad_tokens(q, n_pad).reshape(b * h, n_pad, d)
@@ -219,6 +228,10 @@ def _fused_attention_fwd(q, k, v, scale):
 
 def _fused_attention_bwd(scale, res, g):
     q, k, v = res
+    return batch_partitioned_cached(_run_bwd_v1_impl, 4, 3, scale)(q, k, v, g)
+
+
+def _run_bwd_v1_impl(q, k, v, g, scale):
     b, h, n, d = q.shape
     n_pad = max(_round_up(n, _LANE), _LANE)
     qf = _pad_tokens(q, n_pad).reshape(b * h, n_pad, d)
@@ -365,6 +378,10 @@ def _head_chunk(h: int, n: int, d: int, itemsize: int, n_refs: int,
 
 
 def _run_fwd_v2(q, k, v, scale):
+    return batch_partitioned_cached(_run_fwd_v2_impl, 3, 1, scale)(q, k, v)
+
+
+def _run_fwd_v2_impl(q, k, v, scale):
     b, h, n, d = q.shape
     hc = _head_chunk(h, n, d, q.dtype.itemsize, n_refs=4, n_score_bufs=2)
     return pl.pallas_call(
@@ -395,6 +412,10 @@ def _fa2_fwd(q, k, v, scale):
 
 def _fa2_bwd(scale, res, g):
     q, k, v = res
+    return batch_partitioned_cached(_run_bwd_v2_impl, 4, 3, scale)(q, k, v, g)
+
+
+def _run_bwd_v2_impl(q, k, v, g, scale):
     b, h, n, d = q.shape
     hc = _head_chunk(h, n, d, q.dtype.itemsize, n_refs=7, n_score_bufs=5)
     shapes = [jax.ShapeDtypeStruct((b, h, n, d), q.dtype) for _ in range(3)]
@@ -491,6 +512,10 @@ def _fused_qkv5(qkv5, scale):
 
 
 def _run_fwd_v3(qkv5, scale):
+    return batch_partitioned_cached(_run_fwd_v3_impl, 1, 1, scale)(qkv5)
+
+
+def _run_fwd_v3_impl(qkv5, scale):
     b, three, h, n, d = qkv5.shape
     hc = _head_chunk(h, n, d, qkv5.dtype.itemsize, n_refs=4, n_score_bufs=2)
     return pl.pallas_call(
@@ -513,6 +538,10 @@ def _fqkv5_fwd(qkv5, scale):
 
 
 def _fqkv5_bwd(scale, qkv5, g):
+    return (batch_partitioned_cached(_run_bwd_v3_impl, 2, 1, scale)(qkv5, g),)
+
+
+def _run_bwd_v3_impl(qkv5, g, scale):
     b, three, h, n, d = qkv5.shape
     hc = _head_chunk(h, n, d, qkv5.dtype.itemsize, n_refs=7, n_score_bufs=5)
     dqkv5 = pl.pallas_call(
@@ -528,7 +557,7 @@ def _fqkv5_bwd(scale, qkv5, g):
             transcendentals=b * h * n * n,
         ),
     )(qkv5, g)
-    return (dqkv5,)
+    return dqkv5
 
 
 _fused_qkv5.defvjp(_fqkv5_fwd, _fqkv5_bwd)
@@ -625,6 +654,12 @@ def _fused_qkv_flat(qkv3, scale, heads, d):
 
 
 def _run_fwd_v4(qkv3, scale, heads, d):
+    return batch_partitioned_cached(
+        _run_fwd_v4_impl, 1, 1, scale, heads, d
+    )(qkv3)
+
+
+def _run_fwd_v4_impl(qkv3, scale, heads, d):
     b, n, f = qkv3.shape
     return pl.pallas_call(
         functools.partial(_fwd_kernel_v4, scale=scale, heads=heads, d=d),
@@ -647,15 +682,22 @@ def _fqkv_flat_fwd(qkv3, scale, heads, d):
 
 
 def _fqkv_flat_bwd(scale, heads, d, qkv3, g):
+    return (batch_partitioned_cached(
+        _run_bwd_v4_impl, 2, 1, scale, heads, d
+    )(qkv3, g),)
+
+
+def _run_bwd_v4_impl(qkv3, g, scale, heads, d):
     b, n, f = qkv3.shape
     if not _v4_fits(heads, n, d, qkv3.dtype.itemsize):
         # the forward ran v4 under fwd_only (deterministic inference), but
         # something differentiated through it anyway (e.g. Grad-CAM's
         # token-probe VJP at 384px) — the flat-row backward does not fit
         # scoped VMEM there, so route through the head-chunked v3 backward
+        # (the raw impl: this already runs inside the partitioned body)
         qkv5 = qkv3.reshape(b, n, 3, heads, d).transpose(0, 2, 3, 1, 4)
-        (dqkv5,) = _fqkv5_bwd(scale, qkv5, g)
-        return (dqkv5.transpose(0, 3, 1, 2, 4).reshape(b, n, f),)
+        dqkv5 = _run_bwd_v3_impl(qkv5, g, scale)
+        return dqkv5.transpose(0, 3, 1, 2, 4).reshape(b, n, f)
     dqkv3 = pl.pallas_call(
         functools.partial(_bwd_kernel_v4, scale=scale, heads=heads, d=d),
         grid=(b,),
@@ -673,7 +715,7 @@ def _fqkv_flat_bwd(scale, heads, d, qkv3, g):
             transcendentals=b * heads * n * n,
         ),
     )(qkv3, g)
-    return (dqkv3,)
+    return dqkv3
 
 
 _fused_qkv_flat.defvjp(_fqkv_flat_fwd, _fqkv_flat_bwd)
@@ -880,6 +922,10 @@ def _v5_params():
 
 
 def _run_fwd_v5(q, k, v, scale):
+    return batch_partitioned_cached(_run_fwd_v5_impl, 3, 2, scale)(q, k, v)
+
+
+def _run_fwd_v5_impl(q, k, v, scale):
     b, h, n, d = q.shape
     blk, n_pad = _v5_sizes(n)
     nq = nk = n_pad // blk
@@ -932,6 +978,12 @@ def _fa5_fwd(q, k, v, scale):
 
 def _fa5_bwd(scale, res, g):
     q, k, v, o, lse = res
+    return batch_partitioned_cached(
+        _run_bwd_v5_impl, 6, 3, scale
+    )(q, k, v, o, lse, g)
+
+
+def _run_bwd_v5_impl(q, k, v, o, lse, g, scale):
     b, h, n, d = q.shape
     blk, n_pad = _v5_sizes(n)
     nq = nk = n_pad // blk

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gavit_tpu.parallel.op_sharding import batch_partitioned
+
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
@@ -48,7 +50,22 @@ def _run(x, seed, rate):
             x.shape,
         )
         return jnp.where(keep, x / jnp.asarray(1.0 - rate, x.dtype), 0)
+    # batch-local under a data-sharded mesh; the per-shard seed offset
+    # (axis_index × local image count) keeps every (chip, program) PRNG
+    # stream distinct, identically in forward and backward
+    return _dropout_cp(rate)(x, seed)
 
+
+@functools.lru_cache(maxsize=None)
+def _dropout_cp(rate):
+    return batch_partitioned(
+        lambda x, seed: _run_kernel(x, seed, rate),
+        (0, None), (0,),
+        seed_arg=1, seed_stride=lambda args: args[0].shape[0],
+    )
+
+
+def _run_kernel(x, seed, rate):
     b = x.shape[0]
     block = (1,) + x.shape[1:]
     idx = lambda i: (i,) + (0,) * (x.ndim - 1)  # noqa: E731
@@ -114,6 +131,19 @@ def _run_add(y, residual, seed, rate):
         return residual + jnp.where(
             keep, y / jnp.asarray(1.0 - rate, y.dtype), 0
         )
+    return _dropout_add_cp(rate)(y, residual, seed)
+
+
+@functools.lru_cache(maxsize=None)
+def _dropout_add_cp(rate):
+    return batch_partitioned(
+        lambda y, r, seed: _run_add_kernel(y, r, seed, rate),
+        (0, 0, None), (0,),
+        seed_arg=2, seed_stride=lambda args: args[0].shape[0],
+    )
+
+
+def _run_add_kernel(y, residual, seed, rate):
     b = y.shape[0]
     block = (1,) + y.shape[1:]
     idx = lambda i: (i,) + (0,) * (y.ndim - 1)  # noqa: E731
@@ -271,10 +301,28 @@ def _gd_grid(x):
     return grid, block, idx
 
 
+def _gd_stride(args):
+    """Per-shard PRNG-stream count: the full local grid (images × token
+    blocks) — identical in forward and backward, which run the same grid."""
+    return int(np.prod(_gd_grid(args[0])[0]))
+
+
 def _run_gelu_dropout(x, seed, rate):
     if not _on_tpu():
         y = _gelu_f32(x.astype(jnp.float32)) / (1.0 - rate)
         return jnp.where(_gd_mask(x, seed, rate), y, 0.0).astype(x.dtype)
+    return _gd_cp(rate)(x, seed)
+
+
+@functools.lru_cache(maxsize=None)
+def _gd_cp(rate):
+    return batch_partitioned(
+        lambda x, seed: _run_gelu_dropout_kernel(x, seed, rate),
+        (0, None), (0,), seed_arg=1, seed_stride=_gd_stride,
+    )
+
+
+def _run_gelu_dropout_kernel(x, seed, rate):
     grid, block, idx = _gd_grid(x)
     return pl.pallas_call(
         functools.partial(_gelu_dropout_kernel, rate=rate),
@@ -293,6 +341,18 @@ def _run_gelu_dropout_bwd(x, g, seed, rate):
         dx = (_gelu_grad_f32(x.astype(jnp.float32))
               * g.astype(jnp.float32) / (1.0 - rate))
         return jnp.where(_gd_mask(x, seed, rate), dx, 0.0).astype(x.dtype)
+    return _gd_bwd_cp(rate)(x, g, seed)
+
+
+@functools.lru_cache(maxsize=None)
+def _gd_bwd_cp(rate):
+    return batch_partitioned(
+        lambda x, g, seed: _run_gelu_dropout_bwd_kernel(x, g, seed, rate),
+        (0, 0, None), (0,), seed_arg=2, seed_stride=_gd_stride,
+    )
+
+
+def _run_gelu_dropout_bwd_kernel(x, g, seed, rate):
     grid, block, idx = _gd_grid(x)
     return pl.pallas_call(
         functools.partial(_gelu_dropout_bwd_kernel, rate=rate),

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gavit_tpu.parallel.op_sharding import batch_partitioned_cached
+
 _NEG_INF = -1e30
 _EPS = 1e-6
 
@@ -209,6 +211,13 @@ def _interpret() -> bool:
 
 
 def _run_fused(tokens, values, mode, k, threshold, temperature):
+    # batch-local under a data-sharded mesh (see parallel/op_sharding.py)
+    return batch_partitioned_cached(
+        _run_fused_impl, 2, 2, mode, k, threshold, temperature
+    )(tokens, values)
+
+
+def _run_fused_impl(tokens, values, mode, k, threshold, temperature):
     b, n, d = tokens.shape
     # no host-side padding: Mosaic tiles ragged N internally, and the
     # pad/slice HBM traffic costs more than the masked tile edges

@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gavit_tpu.ops.dropout import (_gelu_and_grad_f32, _gelu_f32,
                                     _gelu_grad_f32)
+from gavit_tpu.parallel.op_sharding import batch_partitioned
 
 
 def _on_tpu() -> bool:
@@ -71,8 +72,10 @@ def pick_block(m: int, d: int, f: int, itemsize: int) -> int | None:
         return bm if m % bm == 0 else None
     fixed = (d * f + f * d) * itemsize + (f + d) * 4
     # 64 first: measured best at ViT-B b128 (fwd+bwd 6.03 ms vs 6.27 at 128,
-    # 8.46 at 256 — BASELINE.md r3 sweep); larger blocks only if 64 ∤ m
-    for bm in (64, 128, 256, 512, 32):
+    # 8.46 at 256 — BASELINE.md r3 sweep); larger blocks only if 64 ∤ m.
+    # 16/8 tails: under a data-sharded mesh the kernel sees LOCAL rows
+    # (e.g. 25216/8 = 3152 = 16·197), where only small blocks divide
+    for bm in (64, 128, 256, 512, 32, 16, 8):
         if m % bm:
             continue
         # double-buffered streaming blocks + fp32 temporaries (h1, gelu,
@@ -392,14 +395,64 @@ def fused_mlp(x, w1, b1, w2, b2, seed, rate: float, out_rate: float = 0.0):
     return y
 
 
+def _mlp_fwd_impl(x2, w1, b1, w2, b2, seed, rate, out_rate):
+    """Shard-local forward: block selection runs on the LOCAL row count
+    (under a data-sharded mesh each chip sees its own rows), falling back to
+    the unfused XLA chain when no clean block divides them."""
+    bm = pick_block(x2.shape[0], w1.shape[0], w1.shape[1], x2.dtype.itemsize)
+    if bm is None:
+        return _fallback_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate)
+    return _run_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate, bm)
+
+
+def _mlp_bwd_impl(dy2, h1, w2, seed, rate, out_rate):
+    bm = pick_block(dy2.shape[0], dy2.shape[1], h1.shape[1],
+                    dy2.dtype.itemsize)
+    if bm is None:
+        outs = _fallback_bwd(dy2, h1, w2, seed, rate, out_rate)
+    else:
+        outs = _run_bwd(dy2, h1, w2, seed, rate, out_rate, bm)
+    # dye == dy2 (identity) when out_rate == 0: keep it out of the
+    # partitioned outputs so no copy of the upstream grad is materialised
+    return outs if out_rate > 0.0 else outs[:4]
+
+
+@functools.lru_cache(maxsize=None)
+def _mlp_fwd_cp(rate, out_rate):
+    # batch-local under a data-sharded mesh; weights replicated operands
+    # (or all-gathered by GSPMD under FSDP). Seed offset = axis_index ×
+    # local rows ≥ the per-shard stream consumption, same in fwd and bwd.
+    return batch_partitioned(
+        lambda x2, w1, b1, w2, b2, seed: _mlp_fwd_impl(
+            x2, w1, b1, w2, b2, seed, rate, out_rate
+        ),
+        (0, None, None, None, None, None), (0, 0),
+        seed_arg=5, seed_stride=lambda args: args[0].shape[0],
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _mlp_bwd_cp(rate, out_rate):
+    # db1/db2 are row-reductions accumulated per shard — psum'd over the
+    # batch axis inside the partitioned body
+    out_batch = (0, 0, None, None) + ((0,) if out_rate > 0.0 else ())
+    return batch_partitioned(
+        lambda dy2, h1, w2, seed: _mlp_bwd_impl(
+            dy2, h1, w2, seed, rate, out_rate
+        ),
+        (0, 0, None, None), out_batch,
+        seed_arg=3, seed_stride=lambda args: args[0].shape[0],
+        psum_outs=(2, 3),
+    )
+
+
 def _fused_mlp_fwd(x, w1, b1, w2, b2, seed, rate, out_rate):
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     b1r = b1.reshape(1, -1)
     b2r = b2.reshape(1, -1)
-    bm = pick_block(x2.shape[0], w1.shape[0], w1.shape[1], x2.dtype.itemsize)
-    if _on_tpu() and bm is not None:
-        y, h1 = _run_fwd(x2, w1, b1r, w2, b2r, seed, rate, out_rate, bm)
+    if _on_tpu():
+        y, h1 = _mlp_fwd_cp(rate, out_rate)(x2, w1, b1r, w2, b2r, seed)
     else:
         y, h1 = _fallback_fwd(x2, w1, b1r, w2, b2r, seed, rate, out_rate)
     return y.reshape(shape), (x2, h1, w1, w2, seed, shape)
@@ -408,10 +461,12 @@ def _fused_mlp_fwd(x, w1, b1, w2, b2, seed, rate, out_rate):
 def _fused_mlp_bwd(rate, out_rate, res, gy):
     x2, h1, w1, w2, seed, shape = res
     dy2 = gy.reshape(-1, gy.shape[-1]).astype(x2.dtype)
-    bm = pick_block(x2.shape[0], w1.shape[0], w1.shape[1], x2.dtype.itemsize)
-    if _on_tpu() and bm is not None:
-        dh1, go, db1, db2, dye = _run_bwd(dy2, h1, w2, seed, rate, out_rate,
-                                          bm)
+    if _on_tpu():
+        outs = _mlp_bwd_cp(rate, out_rate)(dy2, h1, w2, seed)
+        if out_rate > 0.0:
+            dh1, go, db1, db2, dye = outs
+        else:
+            (dh1, go, db1, db2), dye = outs, dy2
     else:
         dh1, go, db1, db2, dye = _fallback_bwd(dy2, h1, w2, seed, rate,
                                                out_rate)
@@ -489,9 +544,25 @@ def fused_mlp_inference(x, w1, b1, w2, b2, approximate: bool = True):
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     b1r, b2r = b1.reshape(1, -1), b2.reshape(1, -1)
-    bm = pick_block(x2.shape[0], w1.shape[0], w1.shape[1], x2.dtype.itemsize)
-    if not (_on_tpu() and bm is not None):
+    if not _on_tpu():
         return _chain_infer(x2, w1, b1r, w2, b2r, approximate).reshape(shape)
+    return _mlp_infer_cp(approximate)(x2, w1, b1r, w2, b2r).reshape(shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _mlp_infer_cp(approximate):
+    return batch_partitioned(
+        lambda x2, w1, b1, w2, b2: _mlp_infer_impl(
+            x2, w1, b1, w2, b2, approximate
+        ),
+        (0, None, None, None, None), (0,),
+    )
+
+
+def _mlp_infer_impl(x2, w1, b1r, w2, b2r, approximate):
+    bm = pick_block(x2.shape[0], w1.shape[0], w1.shape[1], x2.dtype.itemsize)
+    if bm is None:
+        return _chain_infer(x2, w1, b1r, w2, b2r, approximate)
     m, d = x2.shape
     f = w1.shape[1]
     y = pl.pallas_call(
@@ -516,7 +587,7 @@ def fused_mlp_inference(x, w1, b1, w2, b2, approximate: bool = True):
             transcendentals=m * f,
         ),
     )(x2, w1, b1r, w2, b2r)
-    return y.reshape(shape)
+    return y
 
 
 def _fmi_fwd(x, w1, b1, w2, b2, approximate):

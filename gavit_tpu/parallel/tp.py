@@ -59,56 +59,58 @@ def shard_model_params(params, mesh: Mesh):
     )
 
 
-def train_state_shardings(mesh: Mesh, tx, state):
-    """NamedSharding pytree for a full TrainState under tensor parallelism.
+def train_state_shardings(mesh: Mesh, tx, state, model_specs=None):
+    """NamedSharding pytree for a full TrainState under tensor parallelism
+    (and/or FSDP — pass ``model_specs`` to override the model group's
+    PartitionSpecs, e.g. ``fsdp.fsdp_param_specs``).
 
     ``state.params`` is the Trainer's two-group tree ``{'model': ...,
     'criterion': ...}``: the model group gets the Megatron specs above, the
-    criterion λs (and the step counter) stay replicated. The optimizer-state
-    shardings are not spelled out by hand — ``tx.init`` is run once under
-    ``jit`` on TP-sharded abstract params — AOT lowering only, nothing is
-    allocated — and GSPMD's propagation gives every moment buffer its
-    param's sharding (scalars like the schedule count come back replicated).
-    That keeps this function correct for any optax chain.
+    criterion λs (and the step counter) stay replicated. Optimizer-state
+    shardings come from STRUCTURAL matching: every optax moment tree (mu/nu
+    in AdamW, trace in SGD, …) embeds the param tree whole, so an opt-state
+    leaf's key path ends with some param leaf's full key path — that param's
+    spec is the moment's spec. (AOT ``tx.init`` + GSPMD output-sharding
+    propagation was tried first and does NOT propagate input shardings to
+    the moments on this JAX version — it silently replicated every moment,
+    a data-axis-fold HBM regression under FSDP.) Scalars (schedule counts)
+    and unmatched leaves stay replicated.
     """
+    del tx  # structure comes from state.opt_state itself
     repl = NamedSharding(mesh, P())
     is_spec = lambda s: isinstance(s, P)
+    if model_specs is None:
+        model_specs = model_param_specs(state.params["model"])
     param_specs = {
-        "model": model_param_specs(state.params["model"]),
+        "model": model_specs,
         "criterion": jax.tree.map(lambda _: P(), state.params["criterion"]),
     }
     param_sh = jax.tree.map(
         lambda s: NamedSharding(mesh, s), param_specs, is_leaf=is_spec
     )
-    abstract = jax.tree.map(
-        lambda x, s: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x),
-                                          sharding=s),
-        state.params, param_sh,
-    )
-    ref_opt_sh = jax.jit(tx.init).lower(abstract).compile().output_shardings
 
-    def norm(path, x, s):
-        # input-independent leaves (schedule counts, zeros) come back with a
-        # single-device default sharding — those are replicated state. Mesh
-        # identity is axis names + device list, not just shape: a different
-        # mesh of the same shape must not be treated as ours.
-        ok = (
-            isinstance(s, NamedSharding)
-            and tuple(s.mesh.axis_names) == tuple(mesh.axis_names)
-            and s.mesh.devices.tolist() == mesh.devices.tolist()
+    keyify = lambda path: tuple(str(p) for p in path)
+    flat_params = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    spec_leaves = jax.tree.leaves(param_specs, is_leaf=is_spec)
+    by_path = {
+        keyify(p): (spec, jnp.shape(x))
+        for (p, x), spec in zip(flat_params, spec_leaves)
+    }
+
+    def opt_spec(path, x):
+        if jnp.ndim(x) == 0:
+            return repl
+        keys = keyify(path)
+        for k in range(len(keys)):
+            hit = by_path.get(keys[k:])
+            if hit is not None and hit[1] == jnp.shape(x):
+                return NamedSharding(mesh, hit[0])
+        logger.warning(
+            "optimizer-state leaf %s (shape %r) matched no parameter — "
+            "keeping it replicated", jax.tree_util.keystr(path),
+            jnp.shape(x),
         )
-        if not ok and jnp.ndim(x) > 0 and isinstance(s, NamedSharding):
-            # a NamedSharding on some OTHER mesh means GSPMD propagated a
-            # real (possibly sharded) layout we are about to discard — a
-            # silent HBM regression under TP. (SingleDeviceSharding leaves
-            # are the expected input-independent case: replicated state.)
-            logger.warning(
-                "optimizer-state leaf %s fell back to replicated "
-                "(propagated sharding %r is not on the TP mesh)",
-                jax.tree_util.keystr(path), s,
-            )
-        return s if ok else repl
+        return repl
 
-    abstract_opt = jax.eval_shape(tx.init, abstract)
-    opt_sh = jax.tree_util.tree_map_with_path(norm, abstract_opt, ref_opt_sh)
+    opt_sh = jax.tree_util.tree_map_with_path(opt_spec, state.opt_state)
     return type(state)(step=repl, params=param_sh, opt_state=opt_sh)

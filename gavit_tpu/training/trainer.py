@@ -41,7 +41,8 @@ from flax import struct
 from gavit_tpu.config import Config
 from gavit_tpu.data.loader import device_iterator
 from gavit_tpu.ops.preprocess import train_preprocess, val_preprocess
-from gavit_tpu.parallel.mesh import make_mesh, replicated_sharding
+from gavit_tpu.parallel.mesh import (make_mesh, replicated_sharding,
+                                     stacked_batch_sharding)
 from gavit_tpu.training.losses import (
     dynamic_weighted_loss,
     get_loss_weights,
@@ -143,13 +144,31 @@ class Trainer:
         # donation would then delete out from under the caller). jit (not
         # device_put) so multi-process runs can build the replicated global
         # arrays — device_put rejects non-addressable shardings.
-        if self.mesh.shape.get("model", 1) > 1:
-            # tensor parallel is a config change (SURVEY §2.6): params and
-            # optimizer moments carry Megatron partition specs over 'model'
-            from gavit_tpu.parallel.tp import train_state_shardings
+        tp_on = self.mesh.shape.get("model", 1) > 1
+        fsdp_on = (
+            bool(getattr(config.mesh, "fsdp", False))
+            and self.mesh.shape.get("data", 1) > 1
+        )
+        if tp_on or fsdp_on:
+            # tensor parallel / FSDP are config changes (SURVEY §2.6):
+            # params and optimizer moments carry Megatron partition specs
+            # over 'model' and/or ZeRO-3 specs over 'data'
+            from gavit_tpu.parallel.tp import (
+                model_param_specs,
+                train_state_shardings,
+            )
 
+            specs = model_param_specs(state.params["model"]) if tp_on else None
+            if fsdp_on:
+                from gavit_tpu.parallel.fsdp import fsdp_param_specs
+
+                specs = fsdp_param_specs(
+                    state.params["model"], self.mesh,
+                    min_size=getattr(config.mesh, "fsdp_min_size", 4096),
+                    base_specs=specs,
+                )
             self._state_sharding = train_state_shardings(
-                self.mesh, self.tx, state
+                self.mesh, self.tx, state, model_specs=specs
             )
         else:
             self._state_sharding = replicated_sharding(self.mesh)
@@ -181,8 +200,17 @@ class Trainer:
 
     def _build_train_step(self, use_affine: bool):
         model, tx, pos_weight = self.model, self.tx, self.pos_weight
+        mesh = self.mesh
         log_grad_norm = self.config.training.log_grad_norm
         accum = max(1, self.config.training.grad_accum_steps)
+        # under TP/FSDP, pin the updated state to the declared layout — the
+        # partitioner would otherwise be free to pick a different output
+        # sharding (e.g. re-replicating ZeRO-sharded moments), breaking the
+        # donation aliasing and the memory win
+        state_sharding = (
+            self._state_sharding
+            if isinstance(self._state_sharding, TrainState) else None
+        )
 
         def grad_fn(params, x, labels, k_drop):
             def loss_fn(params):
@@ -225,8 +253,21 @@ class Trainer:
                         f"grad_accum_steps={accum}"
                     )
                 mb = b // accum
-                xm = x.reshape(accum, mb, *x.shape[1:])
-                lm = labels.reshape(accum, mb, labels.shape[-1])
+                # re-pin the microbatch layout after the reshape: splitting
+                # the batch dim into [accum, mb] would otherwise leave the
+                # 'data' axis divided ACROSS the two new dims (a split-axis
+                # HloSharding the custom-partitioning decode of the fused
+                # Pallas ops cannot express as a PartitionSpec, and which
+                # parks accum-step parallelism on the mesh instead of using
+                # every chip per microbatch). P(None, 'data') reshards once
+                # so each scanned slice is cleanly batch-sharded.
+                stacked = stacked_batch_sharding(mesh)
+                xm = jax.lax.with_sharding_constraint(
+                    x.reshape(accum, mb, *x.shape[1:]), stacked
+                )
+                lm = jax.lax.with_sharding_constraint(
+                    labels.reshape(accum, mb, labels.shape[-1]), stacked
+                )
                 keys = jax.random.split(k_drop, accum)
 
                 def body(g_acc, inp):
@@ -254,6 +295,10 @@ class Trainer:
             new_state = TrainState(
                 step=state.step + 1, params=new_params, opt_state=new_opt_state
             )
+            if state_sharding is not None:
+                new_state = jax.lax.with_sharding_constraint(
+                    new_state, state_sharding
+                )
             metrics = {"loss": loss, **comps}
             if log_grad_norm:
                 metrics["grad_norm"] = optax.global_norm(grads["model"])

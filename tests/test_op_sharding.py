@@ -1,0 +1,176 @@
+"""Batch-local SPMD execution of the fused Pallas ops.
+
+A pallas_call is opaque to the SPMD partitioner: without the
+custom-partitioning rules in ``gavit_tpu/parallel/op_sharding.py`` a jit
+over the data mesh all-gathers the batch-sharded operands and every device
+computes the FULL global batch (this was measured: 10 all-gather ops in the
+tiny-ViT forward HLO before the fix). These tests pin (a) zero batch
+all-gathers in the compiled HLO, (b) exact numerical equality with the
+single-device path, and (c) the seed-offset / psum plumbing the dropout and
+MLP kernels need.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gavit_tpu.config import MeshConfig
+from gavit_tpu.parallel.mesh import make_mesh
+from gavit_tpu.parallel.op_sharding import batch_partitioned
+
+
+def _mesh8():
+    return make_mesh(MeshConfig(data=8, model=1))
+
+
+def _batch_allgathers(hlo: str) -> list[str]:
+    # all-gathers whose result includes the global batch dimension
+    return [l for l in hlo.splitlines() if "all-gather" in l and "= " in l]
+
+
+def test_v4_attention_sharded_matches_and_no_gather():
+    from gavit_tpu.ops.attention import _run_fwd_v4
+
+    b, n, h, d = 16, 6, 2, 8
+    qkv3 = jax.random.normal(jax.random.key(0), (b, n, 3 * h * d),
+                             jnp.float32)
+    ref = np.asarray(_run_fwd_v4(qkv3, 0.5, h, d))
+
+    mesh = _mesh8()
+    xs = jax.device_put(qkv3, NamedSharding(mesh, P("data")))
+    fn = jax.jit(lambda x: _run_fwd_v4(x, 0.5, h, d))
+    out = fn(xs)
+    assert "data" in str(out.sharding.spec)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+    hlo = fn.lower(xs).compile().as_text()
+    assert not _batch_allgathers(hlo), "pallas op was replicated by GSPMD"
+
+
+def test_model_forward_hlo_has_no_batch_allgather():
+    """End-to-end: the full pallas-impl model forward under the dp mesh
+    compiles with zero all-gathers (the pre-fix HLO had 10)."""
+    from gavit_tpu.config import from_dict
+    from gavit_tpu.models.vit import build_model, init_params
+
+    cfg = from_dict({"model": {
+        "name": "custom", "img_size": 16, "patch_size": 8, "embed_dim": 32,
+        "depth": 1, "num_heads": 2, "num_classes": 14, "drop_rate": 0.0,
+        "graph": {"enabled": True, "num_blocks": 1, "adjacency": "knn",
+                  "k": 2},
+    }})
+    model = build_model(cfg.model, precision="fp32")
+    params = init_params(model, jax.random.key(0))
+    mesh = _mesh8()
+    x = jax.device_put(
+        jax.random.normal(jax.random.key(1), (16, 16, 16, 3)),
+        NamedSharding(mesh, P("data")),
+    )
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    fn = jax.jit(
+        lambda p, x: model.apply({"params": p}, x, deterministic=True)
+    )
+    ref = np.asarray(fn(jax.device_get(params), jax.device_get(x)))
+    out = fn(params, x)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+    hlo = fn.lower(params, x).compile().as_text()
+    assert not _batch_allgathers(hlo)
+
+
+def test_flash_v5_sharded_gradients_match():
+    from gavit_tpu.ops.attention import flash_attention_large
+
+    b, h, n, d = 8, 2, 40, 8
+    q, k, v = (
+        jax.random.normal(jax.random.key(i), (b, h, n, d), jnp.float32)
+        for i in range(3)
+    )
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention_large(q, k, v, 0.3) ** 2)
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    mesh = _mesh8()
+    sh = NamedSharding(mesh, P("data"))
+    g_sh = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(
+        jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh)
+    )
+    for a, b_ in zip(g_sh, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
+
+
+def test_graph_kernel_sharded_matches():
+    from gavit_tpu.ops.graph_ops import fused_graph_aggregate
+
+    b, n, d = 16, 12, 16
+    tokens = jax.random.normal(jax.random.key(0), (b, n, d), jnp.float32)
+    values = jax.random.normal(jax.random.key(1), (b, n, d), jnp.float32)
+    ref = np.asarray(fused_graph_aggregate(tokens, values, "knn", 3))
+
+    mesh = _mesh8()
+    sh = NamedSharding(mesh, P("data"))
+    out = jax.jit(
+        lambda t, v: fused_graph_aggregate(t, v, "knn", 3)
+    )(jax.device_put(tokens, sh), jax.device_put(values, sh))
+    assert "data" in str(out.sharding.spec)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+
+def test_seed_offset_and_psum_plumbing():
+    """A stand-in 'kernel' (pure XLA so it runs on CPU) exercises the
+    seed-offset and psum wrapper features the PRNG kernels rely on."""
+
+    def impl(x, seed):
+        # per-call 'mask' stream stands in for the hardware PRNG: the output
+        # encodes the seed so shard-local seeds are observable
+        y = x + seed[0].astype(x.dtype)
+        col = jnp.sum(x, axis=0, keepdims=True)  # reduction over batch rows
+        return y, col
+
+    wrapped = batch_partitioned(
+        impl, (0, None), (0, None),
+        seed_arg=1, seed_stride=lambda args: args[0].shape[0],
+        psum_outs=(1,),
+    )
+
+    x = jnp.arange(32.0, dtype=jnp.float32).reshape(16, 2)
+    seed = jnp.asarray([7], jnp.int32)
+
+    # single device: offset 0, plain behavior
+    y, col = jax.jit(wrapped)(x, seed)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x) + 7.0)
+    np.testing.assert_allclose(np.asarray(col), np.asarray(x).sum(0)[None])
+
+    mesh = _mesh8()
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ss = jax.device_put(seed, NamedSharding(mesh, P()))
+    y8, col8 = jax.jit(wrapped)(xs, ss)
+    # psum'd reduction equals the global reduction
+    np.testing.assert_allclose(np.asarray(col8), np.asarray(x).sum(0)[None])
+    # each shard of 2 rows saw seed 7 + shard_index*2
+    y8 = np.asarray(y8)
+    expect = np.asarray(x) + 7.0
+    for shard in range(8):
+        expect[2 * shard: 2 * shard + 2] += 2 * shard
+    np.testing.assert_allclose(y8, expect)
+
+
+@pytest.mark.parametrize("rate,out_rate", [(0.1, 0.0), (0.1, 0.1)])
+def test_fused_mlp_cpu_path_unchanged_by_wrappers(rate, out_rate):
+    """Off-TPU the public ops still use the unwrapped XLA fallback — CPU
+    numerics (and the tests built on them) are unaffected."""
+    from gavit_tpu.ops.mlp import fused_mlp
+
+    m, d, f = 12, 8, 16
+    x = jax.random.normal(jax.random.key(0), (m, d), jnp.float32)
+    w1 = jax.random.normal(jax.random.key(1), (d, f), jnp.float32) * 0.1
+    b1 = jnp.zeros((f,))
+    w2 = jax.random.normal(jax.random.key(2), (f, d), jnp.float32) * 0.1
+    b2 = jnp.zeros((d,))
+    s = jnp.asarray([3], jnp.int32)
+    y = fused_mlp(x, w1, b1, w2, b2, s, rate, out_rate)
+    y2 = fused_mlp(x, w1, b1, w2, b2, s, rate, out_rate)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
