@@ -32,6 +32,7 @@ from gavit_tpu.ops.attention import (
     fused_qkv_attention,
     multi_head_attention,
 )
+from gavit_tpu.parallel.op_sharding import head_shard_constraint
 
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 LN_EPS = 1e-5
@@ -351,6 +352,10 @@ class Attention(nn.Module):
             quant=self.quant, name="qkv",
         )(x, fuse_bias_grad=not deterministic)
         qkv = qkv.reshape(b, n, 3, h, hd)
+        # under tensor parallelism, pin heads to the 'model' axis so the
+        # fused kernels run on each chip's local heads (no-op otherwise —
+        # see parallel/op_sharding.py::head_shard_constraint)
+        qkv = head_shard_constraint(qkv, head_dim=3)
 
         use_dropout = self.attn_drop > 0.0 and not deterministic
         if self.impl in ("auto", "pallas") and not use_dropout and not return_probs:

@@ -41,7 +41,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gavit_tpu.parallel.op_sharding import batch_partitioned_cached
+from gavit_tpu.parallel.op_sharding import (batch_partitioned_cached,
+                                            head_partitioned_cached,
+                                            tp_axis_in_context)
 
 _LANE = 128
 _NEG_INF = -1e30
@@ -191,10 +193,14 @@ def _fused_attention(q, k, v, scale):
 
 
 def _run_fwd(q, k, v, scale):
-    # batch_partitioned: under a data-sharded mesh the kernel runs on each
+    # head_partitioned: under a data-sharded mesh the kernel runs on each
     # chip's local rows instead of GSPMD replicating the opaque Mosaic call
-    # (which would all-gather the global batch — see parallel/op_sharding.py)
-    return batch_partitioned_cached(_run_fwd_v1_impl, 3, 1, scale)(q, k, v)
+    # (which would all-gather the global batch), and under tensor
+    # parallelism it runs on each chip's local heads — heads are
+    # embarrassingly parallel in MHSA (see parallel/op_sharding.py)
+    return head_partitioned_cached(
+        _run_fwd_v1_impl, ((0, 1),) * 3, ((0, 1),), scale
+    )(q, k, v)
 
 
 def _run_fwd_v1_impl(q, k, v, scale):
@@ -228,7 +234,9 @@ def _fused_attention_fwd(q, k, v, scale):
 
 def _fused_attention_bwd(scale, res, g):
     q, k, v = res
-    return batch_partitioned_cached(_run_bwd_v1_impl, 4, 3, scale)(q, k, v, g)
+    return head_partitioned_cached(
+        _run_bwd_v1_impl, ((0, 1),) * 4, ((0, 1),) * 3, scale
+    )(q, k, v, g)
 
 
 def _run_bwd_v1_impl(q, k, v, g, scale):
@@ -378,7 +386,9 @@ def _head_chunk(h: int, n: int, d: int, itemsize: int, n_refs: int,
 
 
 def _run_fwd_v2(q, k, v, scale):
-    return batch_partitioned_cached(_run_fwd_v2_impl, 3, 1, scale)(q, k, v)
+    return head_partitioned_cached(
+        _run_fwd_v2_impl, ((0, 1),) * 3, ((0, 1),), scale
+    )(q, k, v)
 
 
 def _run_fwd_v2_impl(q, k, v, scale):
@@ -412,7 +422,9 @@ def _fa2_fwd(q, k, v, scale):
 
 def _fa2_bwd(scale, res, g):
     q, k, v = res
-    return batch_partitioned_cached(_run_bwd_v2_impl, 4, 3, scale)(q, k, v, g)
+    return head_partitioned_cached(
+        _run_bwd_v2_impl, ((0, 1),) * 4, ((0, 1),) * 3, scale
+    )(q, k, v, g)
 
 
 def _run_bwd_v2_impl(q, k, v, g, scale):
@@ -512,7 +524,10 @@ def _fused_qkv5(qkv5, scale):
 
 
 def _run_fwd_v3(qkv5, scale):
-    return batch_partitioned_cached(_run_fwd_v3_impl, 1, 1, scale)(qkv5)
+    # heads on dim 2 of [B, 3, H, N, d] → dim 1 of the [B, H, N, d] output
+    return head_partitioned_cached(
+        _run_fwd_v3_impl, ((0, 2),), ((0, 1),), scale
+    )(qkv5)
 
 
 def _run_fwd_v3_impl(qkv5, scale):
@@ -538,7 +553,9 @@ def _fqkv5_fwd(qkv5, scale):
 
 
 def _fqkv5_bwd(scale, qkv5, g):
-    return (batch_partitioned_cached(_run_bwd_v3_impl, 2, 1, scale)(qkv5, g),)
+    return (head_partitioned_cached(
+        _run_bwd_v3_impl, ((0, 2), (0, 1)), ((0, 2),), scale
+    )(qkv5, g),)
 
 
 def _run_bwd_v3_impl(qkv5, g, scale):
@@ -737,13 +754,22 @@ def fused_qkv_attention(qkv, scale, merge_heads: bool = True,
     relayout-free path up to larger N).
     """
     b, n, three, h, d = qkv.shape
-    if _v4_fits(h, n, d, qkv.dtype.itemsize, fwd_only=fwd_only):
+    # Under tensor parallelism the v4 flat form is unusable: reshaping the
+    # head-sharded [B,N,3,H,d] into [B,N,3·H·d] folds the sharded dim away
+    # (GSPMD would all-gather). The v3 transposed form keeps heads on an
+    # explicit dim, so each chip runs its local heads
+    # (parallel/op_sharding.py::head_partitioned_cached).
+    tp = tp_axis_in_context()
+    if not tp and _v4_fits(h, n, d, qkv.dtype.itemsize, fwd_only=fwd_only):
         out = _fused_qkv_flat(qkv.reshape(b, n, 3 * h * d), scale, h, d)
     elif _v3_fits(n, d, qkv.dtype.itemsize):
         qkv5 = qkv.transpose(0, 2, 3, 1, 4)  # [B, 3, H, N, d]
         out = _fused_qkv5(qkv5, scale)  # [B, H, N, d]
     else:
-        # exact full-[N,N] kernels no longer fit VMEM — blockwise flash
+        # exact full-[N,N] kernels no longer fit VMEM — blockwise flash.
+        # (Batch-partitioned only: its saved LSE carries a folded b·h dim
+        # the factor rules cannot split, so under TP at N>800 the heads
+        # replicate — correct, just not head-parallel. Corner case.)
         qkv5 = qkv.transpose(2, 0, 3, 1, 4)  # [3, B, H, N, d]
         out = flash_attention_large(qkv5[0], qkv5[1], qkv5[2], scale)
     if merge_heads:

@@ -1,4 +1,4 @@
-"""SPMD partitioning rules for the fused Pallas ops (batch-local execution).
+"""SPMD partitioning rules for the fused Pallas ops (shard-local execution).
 
 A ``pallas_call`` lowers to a Mosaic custom call that the XLA SPMD
 partitioner knows nothing about, so under a ``jit`` over the device mesh it
@@ -11,10 +11,20 @@ does data-size× the work and holds data-size× the activations.
 
 :func:`batch_partitioned` fixes this at the op level: it wraps a
 pallas-calling function in :class:`jax.experimental.custom_partitioning`
-with the rule "the batch dim is sharded, everything else is replicated", so
-GSPMD/Shardy runs the kernel shard-locally on each chip's rows — the
-TPU-native equivalent of the reference's per-GPU kernel launches, but
-derived from the sharding annotations instead of explicit process code.
+with the rule "the declared factor dims may stay sharded, everything else is
+replicated", so GSPMD/Shardy runs the kernel shard-locally on each chip's
+rows — the TPU-native equivalent of the reference's per-GPU kernel
+launches, but derived from the sharding annotations instead of explicit
+process code.
+
+Two factors cover every fused op in this codebase:
+
+* ``b`` — the batch dim (data parallelism). Declared with a plain int
+  per-argument dim index.
+* ``h`` — the attention heads dim (tensor parallelism): heads are
+  embarrassingly parallel in MHSA, so under Megatron TP the v3/v5 kernels
+  run on each chip's local heads. Declared with a ``{"b": i, "h": j}``
+  dict entry. Both factors may be sharded simultaneously (dp×tp meshes).
 
 Extras the fused ops need:
 
@@ -31,7 +41,7 @@ Extras the fused ops need:
   otherwise have no way to know the output is a reduction over the sharded
   dim).
 
-The wrapper is a no-op structurally when nothing is sharded along the batch
+The wrapper is a no-op structurally when nothing is sharded along a factor
 dim (single device, or replicated operands): the partition body degenerates
 to the original function.
 """
@@ -47,113 +57,142 @@ from jax import lax
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+_FACTORS = ("b", "h")  # stable order: seed offsets / rule letters
 
-def _sdy_rule(arg_ranks, arg_batch, out_ranks, out_batch, psum_outs):
-    """Einsum-notation Shardy rule: one shared factor ``b`` on every batch
-    dim, a unique factor everywhere else, all non-batch factors marked
-    need-replication ("only the batch dim may stay sharded")."""
+
+def _norm(entry) -> dict:
+    """Normalize a per-array factor declaration: int → {'b': dim}."""
+    if entry is None:
+        return {}
+    if isinstance(entry, dict):
+        return entry
+    return {"b": entry}
+
+
+def _sdy_rule(arg_ranks, arg_dims, out_ranks, out_dims, psum_outs):
+    """Einsum-notation Shardy rule: one shared factor letter per declared
+    factor on its dims, a unique factor everywhere else, all non-factor
+    letters marked need-replication ("only declared dims may stay
+    sharded")."""
     names = iter(
-        f"{a}{b}" for a in string.ascii_lowercase if a != "b"
-        for b in string.ascii_lowercase
+        f"{a}{c}" for a in string.ascii_lowercase if a not in _FACTORS
+        for c in string.ascii_lowercase
     )
     factors = []
 
-    def dims(rank, bdim):
+    def dims(rank, fmap):
+        by_dim = {d: f for f, d in fmap.items()}
         out = []
         for d in range(rank):
-            if bdim is not None and d == bdim:
-                out.append("b")
+            if d in by_dim:
+                out.append(by_dim[d])
             else:
                 f = next(names)
                 factors.append(f)
                 out.append(f)
         return " ".join(out)
 
-    lhs = ", ".join(dims(r, bd) for r, bd in zip(arg_ranks, arg_batch))
+    lhs = ", ".join(dims(r, fm) for r, fm in zip(arg_ranks, arg_dims))
     rhs = ", ".join(
-        dims(r, None if i in psum_outs else bd)
-        for i, (r, bd) in enumerate(zip(out_ranks, out_batch))
+        dims(r, {} if i in psum_outs else fm)
+        for i, (r, fm) in enumerate(zip(out_ranks, out_dims))
     )
     return f"{lhs} -> {rhs}", tuple(factors)
 
 
-def _spec(rank, bdim, axes):
+def _spec(rank, fmap, axes_by_factor):
     entries = [None] * rank
-    if bdim is not None and axes:
-        entries[bdim] = axes
+    for f, d in fmap.items():
+        axes = axes_by_factor.get(f)
+        if axes:
+            entries[d] = axes if len(axes) > 1 else axes[0]
     return P(*entries)
 
 
 def batch_partitioned(fn, arg_batch, out_batch, *, seed_arg=None,
                       seed_stride=None, psum_outs=()):
-    """Wrap ``fn(*arrays)`` to execute shard-locally along the batch dim.
+    """Wrap ``fn(*arrays)`` to execute shard-locally along declared dims.
 
     Args:
       fn: positional-array function (close over static params first). Must
         return one array or a tuple of arrays.
-      arg_batch: per-argument batch-dim index, or None for replicated
-        operands (weights, seeds).
-      out_batch: per-output batch-dim index (None: replicated output).
+      arg_batch: per-argument declaration — an int (batch-dim index), a
+        dict ``{"b": i, "h": j}`` naming factor dims, or None for fully
+        replicated operands (weights, seeds).
+      out_batch: per-output declaration, same forms.
       seed_arg: index of an int32 seed argument to offset per shard.
       seed_stride: ``f(local_args) -> int`` — number of PRNG streams the
         kernel consumes on one shard (the per-shard grid size); the seed is
-        offset by ``axis_index * stride``.
-      psum_outs: output indices that are reductions over the batch dim —
-        psum'd across the batch axis and returned replicated.
+        offset by ``shard_linear_index * stride`` over every sharded factor
+        axis.
+      psum_outs: output indices that are reductions over the sharded dims —
+        psum'd across the factor axes and returned replicated.
     Returns:
       A function with ``fn``'s signature, safe to call under ``jit`` whether
       or not operands are sharded.
     """
-    arg_batch = tuple(arg_batch)
-    out_batch = tuple(out_batch)
+    arg_dims = tuple(_norm(e) for e in arg_batch)
+    out_dims = tuple(_norm(e) for e in out_batch)
     psum_outs = frozenset(psum_outs)
     cp = custom_partitioning(fn)
-    multi_out = len(out_batch) > 1
+    multi_out = len(out_dims) > 1
 
-    def _batch_axes(shardings):
-        """The mesh axes the batch dim is sharded over (first one found)."""
-        for sh, bd in zip(shardings, arg_batch):
-            if bd is None or not isinstance(sh, NamedSharding):
+    def _factor_axes(shardings):
+        """Mesh axes each factor is sharded over (first occurrence wins)."""
+        axes = {}
+        for sh, fmap in zip(shardings, arg_dims):
+            if not isinstance(sh, NamedSharding):
                 continue
             spec = sh.spec
-            if bd < len(spec) and spec[bd] is not None:
-                axes = spec[bd]
-                return axes if isinstance(axes, tuple) else (axes,)
-        return ()
+            for f, d in fmap.items():
+                if f in axes or d >= len(spec) or spec[d] is None:
+                    continue
+                a = spec[d]
+                axes[f] = a if isinstance(a, tuple) else (a,)
+        return axes
+
+    def _all_axes(axes):
+        return sum((axes[f] for f in _FACTORS if f in axes), ())
 
     def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
-        axes = _batch_axes([a.sharding for a in arg_shapes])
+        axes = _factor_axes([a.sharding for a in arg_shapes])
         ranks = [len(r.shape) for r in jax.tree.leaves(result_shape)]
         shs = [
-            NamedSharding(mesh, _spec(r, None if i in psum_outs else bd, axes))
-            for i, (r, bd) in enumerate(zip(ranks, out_batch))
+            NamedSharding(mesh, _spec(r, {} if i in psum_outs else fm, axes))
+            for i, (r, fm) in enumerate(zip(ranks, out_dims))
         ]
         return tuple(shs) if multi_out else shs[0]
 
     def partition(mesh, arg_shapes, result_shape):
-        axes = _batch_axes([a.sharding for a in arg_shapes])
+        axes = _factor_axes([a.sharding for a in arg_shapes])
         arg_sh = tuple(
-            NamedSharding(mesh, _spec(len(a.shape), bd, axes))
-            for a, bd in zip(arg_shapes, arg_batch)
+            NamedSharding(mesh, _spec(len(a.shape), fm, axes))
+            for a, fm in zip(arg_shapes, arg_dims)
         )
         ranks = [len(r.shape) for r in jax.tree.leaves(result_shape)]
         out_sh = [
-            NamedSharding(mesh, _spec(r, None if i in psum_outs else bd, axes))
-            for i, (r, bd) in enumerate(zip(ranks, out_batch))
+            NamedSharding(mesh, _spec(r, {} if i in psum_outs else fm, axes))
+            for i, (r, fm) in enumerate(zip(ranks, out_dims))
         ]
         out_sh = tuple(out_sh) if multi_out else out_sh[0]
+        flat_axes = _all_axes(axes)
 
         def lower_fn(*args):
-            if axes and seed_arg is not None and seed_stride is not None:
-                idx = lax.axis_index(axes[0] if len(axes) == 1 else axes)
+            if flat_axes and seed_arg is not None and seed_stride is not None:
+                # linear shard index over every sharded factor axis, so each
+                # (chip, program) PRNG stream is distinct under dp, tp, and
+                # dp×tp alike
+                idx = lax.axis_index(
+                    flat_axes[0] if len(flat_axes) == 1 else flat_axes
+                )
                 stride = np.int32(seed_stride(args))
                 args = list(args)
                 args[seed_arg] = args[seed_arg] + idx.astype(np.int32) * stride
             out = fn(*args)
-            if axes and psum_outs:
+            if flat_axes and psum_outs:
                 outs = list(out) if multi_out else [out]
                 for i in psum_outs:
-                    outs[i] = lax.psum(outs[i], axes)
+                    outs[i] = lax.psum(outs[i], flat_axes)
                 out = tuple(outs) if multi_out else outs[0]
             return out
 
@@ -164,8 +203,8 @@ def batch_partitioned(fn, arg_batch, out_batch, *, seed_arg=None,
         # rank-generic); the callable form receives the MLIR types
         del mesh
         rule, repl = _sdy_rule(
-            [len(t.shape) for t in value_types], arg_batch,
-            [len(t.shape) for t in result_types], out_batch, psum_outs,
+            [len(t.shape) for t in value_types], arg_dims,
+            [len(t.shape) for t in result_types], out_dims, psum_outs,
         )
         return rule, {"need_replication_factors": repl}
 
@@ -189,3 +228,62 @@ def batch_partitioned_cached(impl, n_in, n_out, *static):
         lambda *arrays: impl(*arrays, *static),
         (0,) * n_in, (0,) * n_out,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def head_partitioned_cached(impl, arg_dims, out_dims, *static):
+    """Cached :func:`batch_partitioned` for (batch, heads)-factor ops.
+
+    ``arg_dims`` / ``out_dims``: per-array ``(batch_dim, head_dim)`` tuples
+    (hashable, unlike dicts). Used by the attention kernels so tensor
+    parallelism runs them on each chip's local heads — see
+    ``ops/attention.py`` and ``models/layers.py::Attention``.
+    """
+    to_map = lambda e: {"b": e[0], "h": e[1]}  # noqa: E731
+    return batch_partitioned(
+        lambda *arrays: impl(*arrays, *static),
+        tuple(to_map(e) for e in arg_dims),
+        tuple(to_map(e) for e in out_dims),
+    )
+
+
+def tp_axis_in_context(axis: str = "model") -> bool:
+    """True when tracing under a mesh whose ``axis`` has >1 shards.
+
+    Reads the abstract mesh from the ambient context (set by
+    ``jax.set_mesh`` around the trainer/eval jit calls), so model code can
+    pick TP-safe dispatches and insert bare-PartitionSpec sharding
+    constraints without threading a concrete Mesh through flax modules.
+    Returns False outside any mesh context — single-device and plain-dp
+    paths are unaffected.
+    """
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+    except Exception:  # pragma: no cover - older jax
+        return False
+    return bool(mesh is not None and mesh.shape.get(axis, 1) > 1)
+
+
+def head_shard_constraint(x, head_dim: int, axis: str = "model",
+                          batch_axis: str = "data"):
+    """Pin an activation to batch×head sharding under TP (no-op otherwise).
+
+    The qkv projection's output feature dim is a (3, H, d) fold whose
+    contiguous Megatron column chunks do not align with whole (component,
+    head) groups, so GSPMD cannot carry the GEMM output's sharding through
+    the reshape to an explicit-heads layout — left alone it replicates, and
+    the head-partitioned attention kernels would run every head on every
+    chip. This constraint forces the one reshard (an all-to-all over ICI)
+    that puts each chip's local heads in place. Applied only when tracing
+    under a mesh context with a >1 ``axis`` and a divisible head count.
+    """
+    if not tp_axis_in_context(axis):
+        return x
+    mesh = jax.sharding.get_abstract_mesh()
+    if x.shape[head_dim] % mesh.shape[axis]:
+        return x  # indivisible heads: replicated fallback is correct
+    entries = [None] * x.ndim
+    entries[head_dim] = axis
+    if batch_axis in mesh.shape:
+        entries[0] = batch_axis
+    return lax.with_sharding_constraint(x, P(*entries))

@@ -26,6 +26,7 @@ TPU-native redesign:
 from __future__ import annotations
 
 import base64
+import functools
 import logging
 import os
 import time
@@ -104,21 +105,24 @@ class Trainer:
         self.wandb = wandb_run
         self.mesh = mesh if mesh is not None else make_mesh(config.mesh)
         if self.mesh.shape.get("model", 1) > 1:
-            # the fused Pallas kernels are opaque to GSPMD: feeding them
-            # 'model'-sharded operands would gather or fail at compile.
-            # scripts/train.py already builds TP models with the XLA impls;
-            # enforce the same invariant for direct Trainer construction.
-            fixed = {}
-            for attr in ("attn_impl", "graph_impl", "mlp_impl"):
-                if getattr(model, attr, "xla") not in ("xla", "reference"):
-                    fixed[attr] = "xla"
-            if fixed:
+            # Attention keeps its fused kernels under TP: the trainer traces
+            # inside a jax.set_mesh context, so the Attention layer pins a
+            # head-sharded layout and the head-partitioned kernel rules run
+            # each chip's local heads (ops/attention.py). The graph kernels
+            # carry batch-partitioning rules and all their params are
+            # replicated, so they are TP-safe as-is. Only the fused MLP
+            # megakernel must step aside: its folded out-dropout would have
+            # to run before the row-parallel fc2 psum — wrong order — so TP
+            # uses the XLA MLP chain (Megatron column/row GEMMs + dropout
+            # after the reduction).
+            if getattr(model, "mlp_impl", "xla") not in ("xla", "reference"):
                 logger.warning(
-                    f"tensor parallelism requires GSPMD-visible impls; "
-                    f"overriding {sorted(fixed)} to 'xla' (was "
-                    f"{[getattr(model, a) for a in sorted(fixed)]})"
+                    "tensor parallelism uses the XLA MLP chain (the fused "
+                    "MLP kernel's folded out-dropout cannot follow the "
+                    "row-parallel psum); overriding mlp_impl to 'xla' "
+                    f"(was {getattr(model, 'mlp_impl', None)!r})"
                 )
-                self.model = model = model.clone(**fixed)
+                self.model = model = model.clone(mlp_impl="xla")
 
         tr = config.training
         self.metric_calculator = MetricCalculator(train_loader.dataset.disease_names)
@@ -189,14 +193,33 @@ class Trainer:
         self.train_metrics_history: list[dict] = []
         self.val_metrics_history: list[dict] = []
 
-        self._train_step = self._build_train_step(config.data.augment_affine)
-        self._eval_step = self._build_eval_step()
+        self._train_step = self._in_mesh(
+            self._build_train_step(config.data.augment_affine))
+        self._train_multi = self._in_mesh(self._train_multi)
+        self._eval_step = self._in_mesh(self._build_eval_step())
         self._preemption: PreemptionHandler | None = None
         self._loader_state: bytes | None = None  # mid-epoch resume point
 
     # ------------------------------------------------------------------
     # jitted steps
     # ------------------------------------------------------------------
+
+    def _in_mesh(self, fn):
+        """Run ``fn`` inside a ``jax.set_mesh`` context under tensor
+        parallelism, so bare-PartitionSpec sharding constraints in the model
+        (Attention's head pinning, op_sharding.py) resolve against the
+        trainer's mesh. Identity under data-only meshes — the dp fast path
+        is untouched."""
+        if self.mesh.shape.get("model", 1) <= 1:
+            return fn
+        mesh = self.mesh
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            with jax.set_mesh(mesh):
+                return fn(*args, **kwargs)
+
+        return wrapper
 
     def _build_train_step(self, use_affine: bool):
         model, tx, pos_weight = self.model, self.tx, self.pos_weight

@@ -113,13 +113,12 @@ def create_datasets(config, synthetic: bool):
 
 
 def create_model(config, rng):
-    # under tensor parallelism the hidden dim is sharded over 'model'; the
-    # Pallas kernels are opaque to GSPMD, so TP runs take the XLA impls
-    # (gavit_tpu/parallel/tp.py docstring) — DP keeps the fused kernels
-    impl = (
-        {"attn_impl": "xla", "graph_impl": "xla", "mlp_impl": "xla"}
-        if config.mesh.model > 1 else {}
-    )
+    # Tensor parallelism keeps the fused attention + graph kernels: the
+    # head-partitioned SPMD rules (parallel/op_sharding.py) run each chip's
+    # local heads, and the Trainer traces under jax.set_mesh so the layers
+    # pin the head-sharded layout. Only the fused MLP megakernel steps
+    # aside (its folded out-dropout cannot follow the row-parallel psum).
+    impl = {"mlp_impl": "xla"} if config.mesh.model > 1 else {}
     model = build_model(
         config.model, precision=config.training.precision, **impl
     )

@@ -79,8 +79,11 @@ def main():
                         shard_by_process=True)
     assert len(tl) == 64 // jax.process_count() // local_bs, len(tl)
 
-    impl = {"attn_impl": "xla", "graph_impl": "xla"} if tp > 1 else {}
-    model = build_model(cfg.model, precision="fp32", **impl)
+    # default impls even under TP: the head-partitioned Pallas attention
+    # (parallel/op_sharding.py) must work with the 'model' axis spanning
+    # process boundaries (the Trainer traces under jax.set_mesh; the
+    # fused-MLP kernel alone falls back to XLA, enforced by the Trainer)
+    model = build_model(cfg.model, precision="fp32")
     params = init_params(model, jax.random.key(0))
     trainer = Trainer(model, params, tl, vl, cfg)
     if tp > 1:

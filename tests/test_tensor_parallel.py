@@ -236,3 +236,112 @@ def test_tp_validate_and_checkpoint_roundtrip(tmp_path):
     qkv = tr.state.params["model"]["blocks_0"]["attn"]["qkv"]["kernel"]
     assert "model" in str(qkv.sharding.spec)  # re-sharded on restore
     np.testing.assert_allclose(np.asarray(qkv), before)
+
+
+def test_tp_training_step_with_fused_kernels_matches_dp(tmp_path):
+    """TP keeps the fused Pallas attention + graph kernels: the default
+    (auto→pallas) impls on a dp×tp mesh must reproduce the dp-only pallas
+    update. The Trainer traces under jax.set_mesh, the Attention layer pins
+    heads to 'model', and the head-partitioned rules run local heads
+    (parallel/op_sharding.py). Only mlp_impl falls back to XLA (enforced by
+    the Trainer — its warning path is also covered here)."""
+    from gavit_tpu.config import from_dict
+    from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
+    from gavit_tpu.parallel.mesh import shard_batch
+    from gavit_tpu.training import Trainer
+
+    def make(mesh_cfg):
+        cfg = from_dict({
+            "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                      "embed_dim": 32, "depth": 2, "num_heads": 2,
+                      "num_classes": 14, "drop_rate": 0.0,
+                      "graph": {"enabled": True, "num_blocks": 1,
+                                "adjacency": "knn", "k": 2}},
+            "data": {"batch_size": 16, "image_size": 16},
+            "training": {"epochs": 1, "warmup_epochs": 1,
+                         "precision": "fp32"},
+            "mesh": mesh_cfg,
+            "paths": {"save_dir": str(tmp_path / "ckpt"),
+                      "log_dir": str(tmp_path / "logs")},
+        })
+        model = build_model(cfg.model, precision="fp32")  # default impls
+        params = init_params(model, jax.random.key(0))
+        ds = SyntheticChestXrayDataset(size=16, image_size=16, seed=0)
+        loader = DataLoader(ds, 16, num_workers=0)
+        return Trainer(model, params, loader, loader, cfg)
+
+    images, labels = next(iter(DataLoader(
+        SyntheticChestXrayDataset(size=16, image_size=16, seed=0), 16,
+        num_workers=0,
+    )))
+
+    results = {}
+    for name, mesh_cfg in [("dp", {"data": 8, "model": 1}),
+                           ("tp", {"data": 4, "model": 2})]:
+        tr = make(mesh_cfg)
+        if name == "tp":
+            assert tr.model.mlp_impl == "xla"  # enforced fallback
+            assert tr.model.attn_impl == "auto"  # fused kernels KEPT
+        batch = shard_batch(tr.mesh, (images, labels))
+        state, metrics, _ = tr._train_step(tr.state, tr.base_rng, *batch)
+        results[name] = (state, float(metrics["loss"]))
+
+    tp_state, tp_loss = results["tp"]
+    dp_state, dp_loss = results["dp"]
+    np.testing.assert_allclose(tp_loss, dp_loss, atol=1e-5)
+    for key in (("blocks_0", "attn", "qkv", "kernel"),
+                ("blocks_0", "attn", "proj", "kernel"),
+                ("head", "kernel")):
+        a, b = tp_state.params["model"], dp_state.params["model"]
+        for k in key:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_head_sharded_attention_no_allgather_and_grad_match():
+    """The v3 kernel under dp×tp runs head-locally: zero all-gathers in the
+    compiled HLO, outputs head-sharded, forward and gradient equal to the
+    single-device (v4 flat) path."""
+    from gavit_tpu.ops.attention import fused_qkv_attention
+    from gavit_tpu.parallel.op_sharding import head_shard_constraint
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    b, n, h, d = 8, 13, 4, 8
+    qkv = jax.random.normal(jax.random.key(0), (b, n, 3, h, d), jnp.float32)
+
+    def loss(qkv):
+        q = head_shard_constraint(qkv, head_dim=3)
+        o = fused_qkv_attention(q, 0.35, merge_heads=False)
+        return jnp.sum(o ** 2), o
+
+    # no mesh context → v4 flat path, single device
+    gref, oref = jax.jit(jax.grad(loss, has_aux=True))(qkv)
+    xs = jax.device_put(qkv, NamedSharding(mesh, P("data")))
+    with jax.set_mesh(mesh):
+        fn = jax.jit(jax.grad(loss, has_aux=True))
+        g, o = fn(xs)
+        hlo = fn.lower(xs).compile().as_text()
+    assert "model" in str(o.sharding.spec), o.sharding
+    assert not [l for l in hlo.splitlines() if "all-gather" in l]
+    np.testing.assert_allclose(np.asarray(o), np.asarray(oref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=2e-5)
+
+
+def test_head_shard_constraint_indivisible_heads_noop():
+    """h % tp != 0 → the constraint declines and the kernels replicate
+    heads (correct, just not head-parallel)."""
+    from gavit_tpu.ops.attention import fused_qkv_attention
+    from gavit_tpu.parallel.op_sharding import head_shard_constraint
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    qkv = jax.random.normal(jax.random.key(0), (8, 13, 3, 3, 8), jnp.float32)
+
+    def f(qkv):
+        q = head_shard_constraint(qkv, head_dim=3)  # 3 heads, tp=2
+        return fused_qkv_attention(q, 0.35, merge_heads=False)
+
+    ref = np.asarray(jax.jit(f)(qkv))
+    xs = jax.device_put(qkv, NamedSharding(mesh, P("data")))
+    with jax.set_mesh(mesh):
+        out = jax.jit(f)(xs)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
