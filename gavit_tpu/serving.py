@@ -81,13 +81,28 @@ class Predictor:
         precision: str = "fp32",
         buckets: tuple = DEFAULT_BUCKETS,
         params=None,
+        mesh=None,
     ):
+        """``mesh`` (optional ``jax.sharding.Mesh``) serves over multiple
+        chips: batches shard along 'data' (a v5e-8 cuts a full-val-set sweep
+        ~8×), and with a >1 'model' axis the params live Megatron-sharded
+        and the head-partitioned fused kernels run each chip's local heads
+        — for models whose replicated weights crowd a chip's HBM, or to
+        split one request's compute across chips for latency.
+        """
         import dataclasses
 
         model_cfg = dataclasses.replace(config.model, drop_rate=0.0)
         self.model = build_model(model_cfg, precision=precision)
         self.config = config
-        self.buckets = tuple(sorted(buckets))
+        self.mesh = mesh
+        self._n_data = 1 if mesh is None else mesh.shape.get("data", 1)
+        if self._n_data > 1:
+            # every compiled shape must divide the data axis
+            buckets = tuple(
+                -(-b // self._n_data) * self._n_data for b in buckets
+            )
+        self.buckets = tuple(sorted(set(buckets)))
         self.disease_names = DISEASE_NAMES[: model_cfg.num_classes]
 
         if params is None:
@@ -101,7 +116,21 @@ class Predictor:
                     params,
                     state["params"]["model"],
                 )
-        self.params = jax.device_put(params)
+        if mesh is None:
+            self.params = jax.device_put(params)
+            self._batch_sharding = None
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if mesh.shape.get("model", 1) > 1:
+                from gavit_tpu.parallel.tp import shard_model_params
+
+                self.params = shard_model_params(params, mesh)
+            else:
+                self.params = jax.device_put(
+                    params, NamedSharding(mesh, P())
+                )
+            self._batch_sharding = NamedSharding(mesh, P("data"))
         self._variables = {"params": self.params}
         self._is_int8 = precision == "int8"
 
@@ -115,7 +144,16 @@ class Predictor:
         self._latencies_ms: list[float] = []
 
     def _predict(self, _params_ignored, images_u8):
-        return self._predict_fn(self._variables, images_u8)
+        if self.mesh is None:
+            return self._predict_fn(self._variables, images_u8)
+        # shard the batch over 'data'; under a >1 'model' axis the mesh
+        # context lets the fused attention kernels pin head-sharded layouts
+        # (parallel/op_sharding.py::head_shard_constraint)
+        images_u8 = jax.device_put(
+            jnp.asarray(images_u8), self._batch_sharding
+        )
+        with jax.set_mesh(self.mesh):
+            return self._predict_fn(self._variables, images_u8)
 
     def calibrate(self, images_u8: np.ndarray):
         """Static PTQ calibration (int8 predictors): observe activation

@@ -109,6 +109,14 @@ def main():
     p.add_argument("--precision", default="bf16",
                    choices=["bf16", "fp32", "int8"])
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--mesh", action="store_true",
+                   help="serve over every visible chip: batches shard "
+                        "along 'data' (config mesh.model > 1 additionally "
+                        "Megatron-shards the params for over-HBM models)")
+    p.add_argument("--set", action="append", default=[],
+                   dest="overrides", metavar="KEY=VALUE",
+                   help="Override a config value (dotted keys, "
+                        "YAML-parsed values)")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -116,8 +124,14 @@ def main():
     from gavit_tpu.serving import Predictor
 
     config = load_config(args.config, args.overrides)
+    mesh = None
+    if args.mesh:
+        from gavit_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(config.mesh)
+        logger.info(f"Serving over mesh {dict(mesh.shape)}")
     predictor = Predictor(config, args.checkpoint or None,
-                          precision=args.precision)
+                          precision=args.precision, mesh=mesh)
     if not args.no_warmup:
         predictor.warmup()
 

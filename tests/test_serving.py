@@ -93,3 +93,63 @@ def test_int8_predictor_end_to_end():
     assert stat.shape == (4, 14)
     assert np.all((stat >= 0) & (stat <= 1))
     assert np.max(np.abs(stat - ref)) < 0.15   # quantisation, not garbage
+
+
+def test_meshed_dp_serving_matches_single_device():
+    """Predictor over a data mesh: buckets rounded to multiples of the data
+    axis, batches sharded over 'data', probabilities identical to the
+    single-device predictor with the same params."""
+    import jax
+    from gavit_tpu.config import MeshConfig
+    from gavit_tpu.parallel.mesh import make_mesh
+
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 1, "num_heads": 2,
+                  "num_classes": 14,
+                  "graph": {"enabled": True, "num_blocks": 1,
+                            "adjacency": "knn", "k": 2}},
+        "data": {"image_size": 16},
+    })
+    single = Predictor(cfg, buckets=(1, 4, 8))
+    params = jax.device_get(single.params)
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    meshed = Predictor(cfg, buckets=(1, 4, 8), params=params, mesh=mesh)
+    assert meshed.buckets == (8,)  # rounded up to the data-axis multiple
+
+    imgs = np.random.default_rng(0).integers(0, 255, (11, 16, 16, 3),
+                                             np.uint8)
+    np.testing.assert_allclose(
+        meshed.predict_proba(imgs), single.predict_proba(imgs), atol=1e-6
+    )
+
+
+def test_meshed_tp_serving_params_sharded_and_match():
+    """Serving with a >1 'model' axis: params live Megatron-sharded (the
+    over-HBM-model case) and the head-partitioned fused kernels reproduce
+    the single-device probabilities."""
+    import jax
+    from gavit_tpu.config import MeshConfig
+    from gavit_tpu.parallel.mesh import make_mesh
+
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 1, "num_heads": 2,
+                  "num_classes": 14,
+                  "graph": {"enabled": True, "num_blocks": 1,
+                            "adjacency": "knn", "k": 2}},
+        "data": {"image_size": 16},
+    })
+    single = Predictor(cfg, buckets=(4,))
+    params = jax.device_get(single.params)
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    meshed = Predictor(cfg, buckets=(4,), params=params, mesh=mesh)
+    qkv = meshed.params["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert "model" in str(qkv.sharding.spec)
+    assert qkv.addressable_shards[0].data.shape[1] == qkv.shape[1] // 2
+
+    imgs = np.random.default_rng(1).integers(0, 255, (4, 16, 16, 3),
+                                             np.uint8)
+    np.testing.assert_allclose(
+        meshed.predict_proba(imgs), single.predict_proba(imgs), atol=1e-6
+    )
