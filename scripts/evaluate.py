@@ -118,10 +118,21 @@ def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0,
     every device (the reference — and round-2's evaluate — were
     single-device; a 112k-image val epoch drops from ~30 s to ~4 s on
     v5e-8), with ragged tails wrap-padded and masked exactly as
-    ``Trainer.validate`` does."""
+    ``Trainer.validate`` does. A >1 'model' axis additionally evaluates
+    with Megatron-sharded params through the head-partitioned fused
+    kernels (parallel/op_sharding.py)."""
+    import contextlib
+
     from gavit_tpu.data.loader import device_iterator
 
     metric_calculator = MetricCalculator(dataloader.dataset.disease_names)
+
+    mesh_ctx = contextlib.nullcontext
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        from gavit_tpu.parallel.tp import shard_model_params
+
+        params = shard_model_params(params, mesh)
+        mesh_ctx = lambda: jax.set_mesh(mesh)  # noqa: E731
 
     @jax.jit
     def forward(images_u8):
@@ -132,7 +143,9 @@ def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0,
 
     all_predictions, all_targets = [], []
     for images, targets, valid, _ in device_iterator(dataloader, mesh):
-        all_predictions.append(_take_valid(np.asarray(forward(images)), valid))
+        with mesh_ctx():
+            preds = np.asarray(forward(images))
+        all_predictions.append(_take_valid(preds, valid))
         all_targets.append(_take_valid(np.asarray(targets), valid))
     predictions = np.vstack(all_predictions)
     targets = np.vstack(all_targets)

@@ -44,3 +44,20 @@ def test_meshed_eval_matches_single_device(tmp_path):
     np.testing.assert_allclose(
         r8["metrics"]["mean_auc"], r0["metrics"]["mean_auc"], atol=2e-6
     )
+
+
+def test_tp_meshed_eval_matches_single_device(tmp_path):
+    """A dp×tp evaluation mesh: params Megatron-sharded, fused kernels on
+    local heads — metrics equal the single-device result."""
+    from gavit_tpu.config import MeshConfig
+
+    cfg, model, params, loader = _setup()
+    mesh_tp = make_mesh(MeshConfig(data=4, model=2))
+    mesh1 = make_mesh(cfg.mesh, devices=jax.devices()[:1])
+
+    r_tp = evaluate(model, params, loader, tmp_path / "tp", mesh=mesh_tp)
+    r1 = evaluate(model, params, loader, tmp_path / "m1", mesh=mesh1)
+    for key in ("mean_auc", "mean_f1", "exact_match"):
+        np.testing.assert_allclose(
+            r_tp["metrics"][key], r1["metrics"][key], atol=2e-6, err_msg=key
+        )
