@@ -73,9 +73,13 @@ def pick_block(m: int, d: int, f: int, itemsize: int) -> int | None:
     fixed = (d * f + f * d) * itemsize + (f + d) * 4
     # 64 first: measured best at ViT-B b128 (fwd+bwd 6.03 ms vs 6.27 at 128,
     # 8.46 at 256 — BASELINE.md r3 sweep); larger blocks only if 64 ∤ m.
-    # 16/8 tails: under a data-sharded mesh the kernel sees LOCAL rows
-    # (e.g. 25216/8 = 3152 = 16·197), where only small blocks divide
-    for bm in (64, 128, 256, 512, 32, 16, 8):
+    # No tails below 32: bm=16 wins ISOLATED at 384px (4.21 vs 4.58 ms at
+    # m=9232) but LOSES 12 ms/step in-model (71.6 vs 59.4 — the tiny-block
+    # megakernel can't overlap with neighboring work the way the XLA chain
+    # does), and at the shard-local m=3152 the chain wins isolated too
+    # (2.33 vs 2.47 ms) — BASELINE.md r3. Shapes with no ≥32 divisor take
+    # the unfused chain.
+    for bm in (64, 128, 256, 512, 32):
         if m % bm:
             continue
         # double-buffered streaming blocks + fp32 temporaries (h1, gelu,

@@ -87,9 +87,10 @@ def test_same_seed_is_deterministic():
 def test_pick_block_divides_and_fits():
     # ViT-B b128 @224px: M=25216 rows → 128 divides
     assert pick_block(128 * 197, 768, 3072, 2) in (64, 128)
-    # 384px b16: M=16·577, 577 prime → only the 16/8 tail blocks divide
-    # (added for data-sharded local row counts like 25216/8 = 16·197)
-    assert pick_block(16 * 577, 768, 3072, 2) == 16
+    # 384px b16: M=16·577, 577 prime → no ≥32 divisor → unfused chain
+    # (bm=16 measured 12 ms/step SLOWER in-model than the chain at 384px —
+    # BASELINE.md r3; tails below 32 are deliberately excluded)
+    assert pick_block(16 * 577, 768, 3072, 2) is None
     # a prime row count has no clean block at all → unfused fallback
     assert pick_block(577, 768, 3072, 2) is None
     bm = pick_block(25216, 768, 3072, 2)
