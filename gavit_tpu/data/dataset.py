@@ -133,6 +133,7 @@ class PackedChestXrayDataset:
     """
 
     disease_names = DISEASE_NAMES
+    zero_decode = True  # __getitem__ is a memcpy (see GrainLoader worker policy)
 
     def __init__(self, packed_dir: str):
         import json
@@ -158,10 +159,22 @@ class PackedChestXrayDataset:
             os.path.join(path, "images.npy")
         )
 
+    def __getstate__(self):
+        # a memmap pickles BY VALUE (the full array materialises into the
+        # pickle stream) — at NIH scale that is ~16 GB shipped to every
+        # loader worker process on spawn. Drop it and reopen in the worker.
+        state = self.__dict__.copy()
+        state["images"] = None
+        return state
+
     def __len__(self):
         return len(self.labels)
 
     def __getitem__(self, idx: int):
+        if self.images is None:  # fresh worker process (see __getstate__)
+            self.images = np.load(
+                os.path.join(self.packed_dir, "images.npy"), mmap_mode="r"
+            )
         return np.asarray(self.images[idx]), self.labels[idx]
 
 
@@ -171,6 +184,8 @@ class SyntheticChestXrayDataset:
     Matches the real dataset's sample contract exactly; images/labels are a
     pure function of (seed, index).
     """
+
+    zero_decode = True  # __getitem__ is a memcpy (see GrainLoader worker policy)
 
     disease_names = DISEASE_NAMES
 

@@ -11,13 +11,40 @@ reference's torch DataLoader (``scripts/train.py:76-90``) cannot provide:
   host reads only its slice of the global batch.
 
 The iteration interface matches ``DataLoader`` (yields ``(images, labels)``
-numpy batches; ``set_epoch`` is a no-op because grain's sampler is
-epoch-aware internally), so the Trainer consumes either interchangeably.
+numpy batches), so the Trainer consumes either interchangeably.
+
+Design (round 3): **one persistent worker pool for the whole run.** The
+original per-epoch rebuild respawned the grain worker pool every epoch; a
+worker spawn costs ~9 s of imports per process (measured: ``import
+grain.python`` 6.8 s + interpreter startup under the TPU-plugin site 2.4 s),
+which serialised into ~33 s/epoch on a small host — 300× slower than the
+threaded loader. Instead the loader now builds ONE ``grain.DataLoader`` over
+an *infinite* sampler (grain's ``IndexSampler(num_epochs=None)`` reshuffles
+canonically per epoch — epoch = stream index // dataset length) and batches
+records in the parent process, flushing at epoch boundaries. This keeps all
+the epoch-exact semantics of the rebuild design:
+
+* batches never straddle epochs (the parent batcher counts records and
+  flushes/drops the tail at each boundary — grain's own ``Batch`` operation
+  over a continuous stream would mix epochs);
+* per-epoch reshuffle (grain's epoch-aware shuffle, seeded once);
+* ``drop_last`` drops tail *records* per epoch (they are drained from the
+  stream to keep it epoch-aligned);
+* mid-epoch checkpointing — ``get_state`` wraps grain's iterator state with
+  the stream's base epoch and in-epoch position.
+
+A side benefit: batch composition is now identical for every
+``num_workers`` value (the grain pool yields records in deterministic
+round-robin order, i.e. sampler order, and the parent batches that single
+stream; the old in-worker ``Batch`` produced per-worker-stream batches).
 """
 
 from __future__ import annotations
 
+import base64
+import json
 import logging
+import sys
 
 import numpy as np
 
@@ -48,20 +75,63 @@ class _DatasetSource(grain.RandomAccessDataSource):
         )
 
 
-class _ToBatchArrays(grain.MapTransform):
-    def map(self, batch):
-        return batch["image"], batch["labels"]
+class _OffsetSampler:
+    """Infinite epoch-canonical sampler starting at ``base_epoch``.
+
+    Wraps grain's ``IndexSampler(num_epochs=None)`` — whose shuffle is
+    epoch-aware (epoch = global index // records) with one fixed seed — and
+    shifts the global index stream so record 0 of this sampler is record 0
+    of ``base_epoch``. The returned metadata keeps the *caller's* index (the
+    worker pool tracks consumed positions with it); only record_key/rng come
+    from the shifted position, so permutations are canonical per global
+    epoch and iterator state is portable across rebuilds with the same
+    ``base_epoch`` (``GrainLoader.get_state`` persists it).
+    """
+
+    def __init__(self, num_records, shard_options, shuffle, seed, base_epoch):
+        self._inner = grain.IndexSampler(
+            num_records=num_records,
+            shard_options=shard_options,
+            shuffle=shuffle,
+            num_epochs=None,
+            seed=seed,
+        )
+        self._num_records = num_records
+        self._shard_options = shard_options  # read by grain.DataLoader
+        self._shuffle = shuffle
+        self._seed = seed
+        self._base_epoch = base_epoch
+        shard_len = num_records // shard_options.shard_count
+        # one epoch spans shard_len * shard_count global indices (the pool
+        # walks indices ≡ shard_index mod shard_count)
+        self._offset = base_epoch * shard_len * shard_options.shard_count
+
+    def __len__(self):
+        return sys.maxsize
+
+    def __repr__(self):  # embedded in grain checkpoints — keep stable
+        return (
+            f"_OffsetSampler(num_records={self._num_records}, "
+            f"shuffle={self._shuffle}, seed={self._seed}, "
+            f"base_epoch={self._base_epoch})"
+        )
+
+    def __getitem__(self, index):
+        md = self._inner[index + self._offset]
+        return grain.RecordMetadata(
+            index=index, record_key=md.record_key, rng=md.rng
+        )
 
 
 class GrainLoader:
     """Deterministic, checkpointable batching loader over a dataset.
 
-    Epoch-exact: each epoch is its own single-pass sampler seeded with
-    ``seed + epoch`` (matching the threaded ``DataLoader``'s per-epoch
-    shuffles), so batches never straddle epoch boundaries and per-epoch
-    sample accounting is exact regardless of ``drop_last``. ``set_epoch``
-    is idempotent — calling it with the current epoch keeps the live
-    iterator (and any restored mid-epoch position) intact.
+    Epoch-exact over one persistent worker pool: grain's epoch-aware shuffle
+    gives each epoch its own canonical permutation, and the parent-side
+    batcher never lets a batch straddle an epoch boundary. ``set_epoch`` is
+    idempotent — calling it with the current epoch keeps the live stream
+    (and any restored mid-epoch position) intact; a genuine epoch jump
+    (resume) tears the pool down and rebuilds it at the new base epoch.
     """
 
     def __init__(
@@ -81,87 +151,173 @@ class GrainLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        if num_workers and getattr(dataset, "zero_decode", False):
+            # measured (BASELINE.md r3): for zero-decode records (packed
+            # memmap / synthetic, __getitem__ ≈ memcpy) the per-record
+            # worker IPC costs more than the read itself — in-process
+            # streaming is strictly faster. Workers pay off only when
+            # __getitem__ decodes (ChestXrayDataset).
+            logger.info(
+                f"grain workers {num_workers} → 0: "
+                f"{type(dataset).__name__} records are zero-decode"
+            )
+            num_workers = 0
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.seed = seed
         self.shard = shard
         self.epoch = 0
         self._source = _DatasetSource(dataset)
-        self._loader = None
-        self._iterator = None
+        self._pool = None  # the persistent grain.DataLoader
+        self._stream = None  # its (checkpointable) iterator
+        self._base_epoch = 0
+        self._consumed = 0  # records pulled within the current epoch
 
-    def _build(self):
-        shard_options = (
-            grain.ShardOptions(shard_index=self.shard[0],
-                               shard_count=self.shard[1],
-                               drop_remainder=True)
-            if self.shard is not None
-            else grain.ShardByJaxProcess(drop_remainder=True)
-        )
-        sampler = grain.IndexSampler(
+    # -- pool lifecycle ---------------------------------------------------
+
+    def _shard_options(self):
+        if self.shard is not None:
+            return grain.ShardOptions(
+                shard_index=self.shard[0],
+                shard_count=self.shard[1],
+                drop_remainder=True,
+            )
+        return grain.ShardByJaxProcess(drop_remainder=True)
+
+    @property
+    def _shard_len(self) -> int:
+        """Records per epoch on THIS process (drop_remainder sharding)."""
+        if self.shard is not None:
+            return len(self.dataset) // self.shard[1]
+        import jax
+
+        return len(self.dataset) // jax.process_count()
+
+    def _build(self, base_epoch: int):
+        self._teardown()
+        sampler = _OffsetSampler(
             num_records=len(self._source),
-            shard_options=shard_options,
+            shard_options=self._shard_options(),
             shuffle=self.shuffle,
-            num_epochs=1,
-            seed=self.seed + self.epoch,
+            seed=self.seed,
+            base_epoch=base_epoch,
         )
-        operations = [
-            grain.Batch(batch_size=self.batch_size,
-                        drop_remainder=self.drop_last),
-            _ToBatchArrays(),
-        ]
-        self._loader = grain.DataLoader(
+        self._pool = grain.DataLoader(
             data_source=self._source,
             sampler=sampler,
-            operations=operations,
+            operations=[],  # records stream raw; the parent batches them
             worker_count=self.num_workers,
         )
-        self._iterator = None
+        self._stream = iter(self._pool)
+        self._base_epoch = base_epoch
+        self.epoch = base_epoch
+        self._consumed = 0
+
+    def _teardown(self):
+        # dropping the iterator/pool references terminates the worker pool
+        self._stream = None
+        self._pool = None
+
+    def _ensure(self):
+        if self._stream is None:
+            self._build(self.epoch)
 
     def __len__(self):
-        # per-PROCESS batch count: the sampler shards records with
-        # ShardByJaxProcess(drop_remainder=True), so each host yields its
-        # shard's batches — a global count would inflate the Trainer's
-        # steps_per_epoch (and thus the LR schedule) by process_count on
-        # multi-host runs (the threaded DataLoader's _num_local analogue)
-        if self.shard is not None:
-            n = len(self.dataset) // self.shard[1]
-        else:
-            import jax
-
-            n = len(self.dataset) // jax.process_count()
+        # per-PROCESS batch count: a global count would inflate the
+        # Trainer's steps_per_epoch (and thus the LR schedule) by
+        # process_count on multi-host runs
+        n = self._shard_len
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def set_epoch(self, epoch: int):
-        if self._loader is None or epoch != self.epoch:
+        if epoch != self.epoch:
+            self._teardown()
             self.epoch = epoch
-            self._build()
 
-    def iterator(self) -> grain.PyGrainDatasetIterator:
-        """The persistent (checkpointable) iterator of the current epoch."""
-        if self._loader is None:
-            self._build()
-        if self._iterator is None:
-            self._iterator = iter(self._loader)
-        return self._iterator
+    # -- epoch-exact batching over the continuous stream -------------------
+
+    def _next_epoch_batch(self):
+        """Next batch of the CURRENT epoch, or None at the epoch boundary
+        (the underlying stream continues into the next epoch; the loader's
+        ``epoch`` counter advances)."""
+        self._ensure()
+        remaining = self._shard_len - self._consumed
+        take = min(self.batch_size, remaining)
+        if take <= 0 or (self.drop_last and take < self.batch_size):
+            # drain dropped tail records so the stream stays epoch-aligned
+            for _ in range(max(take, 0)):
+                next(self._stream)
+            self._consumed = 0
+            self.epoch += 1
+            return None
+        images, labels = [], []
+        for _ in range(take):
+            rec = next(self._stream)
+            images.append(rec["image"])
+            labels.append(rec["labels"])
+        self._consumed += take
+        if self._consumed == self._shard_len:
+            self._consumed = 0
+            self.epoch += 1
+        return np.stack(images), np.stack(labels)
+
+    class _EpochIterator:
+        """Iterates the batches of one epoch; a live handle onto the
+        loader's stream (fresh handles continue at the current position)."""
+
+        def __init__(self, loader):
+            self._loader = loader
+            self._epoch = loader.epoch
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            if self._loader.epoch != self._epoch:
+                raise StopIteration
+            batch = self._loader._next_epoch_batch()
+            if batch is None:
+                raise StopIteration
+            return batch
+
+    def iterator(self):
+        """Batch iterator over the current epoch (checkpointable via
+        :meth:`get_state` on the loader)."""
+        self._ensure()
+        return self._EpochIterator(self)
 
     def __iter__(self):
-        it = self.iterator()
-        while True:
-            try:
-                yield next(it)
-            except StopIteration:
-                break
-        self.set_epoch(self.epoch + 1)
+        # yields one epoch, then leaves the loader positioned at the next
+        # (matching DataLoader's per-epoch iteration contract)
+        return self.iterator()
 
     # -- iterator checkpointing (mid-epoch resume) -----------------------
 
     def get_state(self) -> bytes:
-        """Serialized position within the CURRENT epoch; pair it with the
-        epoch number (``Trainer.save_checkpoint`` persists both)."""
-        return self.iterator().get_state()
+        """Serialized position: grain's iterator state plus the stream's
+        base epoch and in-epoch offset (restoring rebuilds the pool at the
+        same base so the canonical permutations line up)."""
+        self._ensure()
+        return json.dumps({
+            "gavit_grain": 2,
+            "base_epoch": self._base_epoch,
+            "epoch": self.epoch,
+            "consumed": self._consumed,
+            "grain": base64.b64encode(self._stream.get_state()).decode(),
+        }).encode()
 
     def set_state(self, state: bytes):
-        self.iterator().set_state(state)
+        try:
+            payload = json.loads(state)
+            assert payload.get("gavit_grain") == 2
+        except (ValueError, AssertionError) as e:
+            raise ValueError(
+                "unrecognized GrainLoader state (saved by an older build?)"
+            ) from e
+        if self._stream is None or payload["base_epoch"] != self._base_epoch:
+            self._build(payload["base_epoch"])
+        self._stream.set_state(base64.b64decode(payload["grain"]))
+        self.epoch = payload["epoch"]
+        self._consumed = payload["consumed"]

@@ -70,6 +70,52 @@ def test_mid_epoch_checkpoint_restore():
     np.testing.assert_array_equal(got[1], expected[1])
 
 
+def test_persistent_pool_across_epochs():
+    """r3 perf fix: sequential epochs stream one grain DataLoader (worker
+    pool) instead of rebuilding per epoch (measured 33 s/epoch spawn cost);
+    an epoch JUMP (resume) rebuilds at the new base."""
+    loader = GrainLoader(_ds(), 8, shuffle=True, seed=3)
+    list(loader)
+    pool = loader._pool
+    assert pool is not None
+    list(loader)  # second epoch: same pool
+    assert loader._pool is pool
+    assert loader.epoch == 2
+    loader.set_epoch(7)  # genuine jump: lazily rebuilt
+    assert loader._pool is None
+    first = next(iter(loader))
+    assert loader._pool is not pool and first[0].shape[0] == 8
+
+
+def test_zero_decode_datasets_skip_worker_pool():
+    """Packed/synthetic records are memcpys; per-record worker IPC measured
+    19x slower than in-process streaming (BASELINE.md r3) — the loader
+    drops to workers=0 for datasets marked zero_decode."""
+    loader = GrainLoader(_ds(), 8, num_workers=4)
+    assert loader.num_workers == 0
+
+
+def test_packed_dataset_pickles_without_materializing_memmap(tmp_path):
+    """np.memmap pickles BY VALUE (~16 GB at NIH scale shipped to every
+    worker on spawn); __getstate__ drops it and the worker reopens lazily."""
+    import pickle
+
+    from gavit_tpu.data.dataset import PackedChestXrayDataset
+
+    ds = _ds(size=6)
+    np.save(tmp_path / "images.npy",
+            np.stack([ds[i][0] for i in range(6)]))
+    np.save(tmp_path / "labels.npy", ds.labels)
+    (tmp_path / "meta.json").write_text(
+        '{"image_size": 8, "paths": ["a","b","c","d","e","f"]}')
+    packed = PackedChestXrayDataset(str(tmp_path))
+    blob = pickle.dumps(packed)
+    assert len(blob) < packed.images.nbytes  # image payload not embedded
+    clone = pickle.loads(blob)
+    assert clone.images is None  # lazy until first read
+    np.testing.assert_array_equal(clone[3][0], packed[3][0])
+
+
 class _PreemptAfterSteps:
     """Stub preemption handler: fires after n checks (≈ n train steps)."""
 
