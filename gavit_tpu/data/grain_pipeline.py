@@ -31,7 +31,9 @@ the epoch-exact semantics of the rebuild design:
 * ``drop_last`` drops tail *records* per epoch (they are drained from the
   stream to keep it epoch-aligned);
 * mid-epoch checkpointing — ``get_state`` wraps grain's iterator state with
-  the stream's base epoch and in-epoch position.
+  the stream's base epoch and in-epoch position. Grain embeds the worker
+  count in that state and refuses a mismatch on restore: resume with the
+  same ``num_workers`` the checkpoint was saved under.
 
 A side benefit: batch composition is now identical for every
 ``num_workers`` value (the grain pool yields records in deterministic

@@ -95,6 +95,42 @@ def test_zero_decode_datasets_skip_worker_pool():
     assert loader.num_workers == 0
 
 
+def test_worker_pool_batches_match_in_process_stream():
+    """Parent-side batching re-merges the worker streams in sampler order
+    (grain's deterministic round-robin), so batch composition is identical
+    for every worker count — a property the old in-worker grain.Batch did
+    not have. Also covers worker spawn + shared-memory record passing, and
+    a mid-epoch pooled-loader state save/restore."""
+    ds = _ds(size=24)
+
+    class _Decode:  # defeat the zero_decode auto-policy: force real workers
+        zero_decode = False
+
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, idx):
+            return ds[idx]
+
+    ref = list(GrainLoader(ds, 8, shuffle=True, seed=5))
+    pooled = GrainLoader(_Decode(), 8, shuffle=True, num_workers=2, seed=5)
+    assert pooled.num_workers == 2
+    it = iter(pooled)
+    got = [next(it)]
+    state = pooled.get_state()  # mid-epoch, from the POOLED stream
+    got += list(it)
+    assert len(got) == len(ref) == 3
+    for (gi, gl), (ri, rl) in zip(got, ref):
+        np.testing.assert_array_equal(gi, ri)
+        np.testing.assert_array_equal(gl, rl)
+    # mid-epoch state restores into a fresh loader with the SAME worker
+    # count (grain embeds the count in its state and refuses a mismatch —
+    # resume with the num_workers the checkpoint was saved under)
+    resumed = GrainLoader(_Decode(), 8, shuffle=True, num_workers=2, seed=5)
+    resumed.set_state(state)
+    np.testing.assert_array_equal(next(resumed.iterator())[0], ref[1][0])
+
+
 def test_packed_dataset_pickles_without_materializing_memmap(tmp_path):
     """np.memmap pickles BY VALUE (~16 GB at NIH scale shipped to every
     worker on spawn); __getstate__ drops it and the worker reopens lazily."""
