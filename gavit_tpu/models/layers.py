@@ -172,10 +172,10 @@ class _DenseParams(nn.Module):
 class Mlp(nn.Module):
     """Dense → GELU(exact) → drop → Dense → drop (``vit.py:75-94``).
 
-    ``impl``: 'auto'/'pallas' use the fused megakernel on the training
-    path; 'xla' forces the composed chain — REQUIRED under tensor
-    parallelism, where the kernel is opaque to GSPMD and would gather the
-    'model'-sharded weights."""
+    ``impl``: 'auto'/'pallas' use the fused megakernel where it fits;
+    'xla' forces the composed chain. Under a >1 'model' mesh axis the
+    fused path is skipped automatically at every entry point (its
+    partitioning rule would all-gather the Megatron-sharded weights)."""
 
     hidden_dim: int
     out_dim: int
@@ -187,22 +187,42 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         from gavit_tpu.ops.mlp import pick_block
+        from gavit_tpu.parallel.op_sharding import tp_axis_in_context
 
-        if (not deterministic and not self.quant and x.ndim == 3
+        if (not self.quant and x.ndim == 3
                 and self.impl in ("auto", "pallas")
+                # under TP the megakernel's partitioning rule declares the
+                # Megatron-sharded fc1/fc2 weights replicated — GSPMD would
+                # all-gather them per layer per call; take the XLA chain
+                # (same guard at every entry point: trainer, eval, serving)
+                and not tp_axis_in_context("model")
                 and pick_block(x.shape[0] * x.shape[1], x.shape[-1],
                                self.hidden_dim,
                                jnp.dtype(self.dtype).itemsize) is not None):
-            # training fast path: the whole fc1→GELU→dropout→fc2 chain in
-            # one Pallas pass — the [M, hidden] activations never exist in
-            # HBM (ops/mlp.py). Shapes without a clean row block (e.g.
-            # 384px's prime token count) keep the round-2 path below
-            # (augmented-GEMM fc1/fc2 + fused GELU+dropout kernel), which
-            # measured faster than any XLA-composed chain there.
+            # fused fast path: the whole fc1→GELU→dropout→fc2 chain in one
+            # Pallas pass — the [M, hidden] activations never exist in HBM
+            # (ops/mlp.py). Shapes without a clean row block (e.g. 384px's
+            # prime token count) keep the round-2 path below (augmented-GEMM
+            # fc1/fc2 + fused GELU+dropout kernel), which measured faster
+            # than any XLA-composed chain there.
             d = x.shape[-1]
             w1, b1 = _DenseParams(self.hidden_dim, d, name="fc1")()
             w2, b2 = _DenseParams(self.out_dim, self.hidden_dim,
                                   name="fc2")()
+            args = (
+                x.astype(self.dtype),
+                w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype),
+            )
+            if deterministic:
+                # serving twin: same megakernel shape, tanh GELU on bf16
+                # (erf for fp32 — but fp32 weights never fit the VMEM
+                # budget, so the fp32 parity path takes the XLA chain below)
+                from gavit_tpu.ops.mlp import fused_mlp_inference
+
+                return fused_mlp_inference(
+                    *args, self.dtype == jnp.bfloat16,
+                )
             import os
 
             seed = dropout_seed(self.make_rng("dropout"))
@@ -210,34 +230,11 @@ class Mlp(nn.Module):
             # folded into the same kernel pass as out_rate
             fold = os.environ.get("GAVIT_MLP_FOLD_OUT", "1") == "1"
             y = fused_mlp(
-                x.astype(self.dtype),
-                w1.astype(self.dtype), b1.astype(self.dtype),
-                w2.astype(self.dtype), b2.astype(self.dtype),
-                seed, self.drop, self.drop if fold else 0.0,
+                *args, seed, self.drop, self.drop if fold else 0.0,
             )
             if not fold:
                 y = FusedDropout(self.drop)(y, deterministic=deterministic)
             return y
-        if (deterministic and not self.quant and x.ndim == 3
-                and self.impl in ("auto", "pallas")
-                and pick_block(x.shape[0] * x.shape[1], x.shape[-1],
-                               self.hidden_dim,
-                               jnp.dtype(self.dtype).itemsize) is not None):
-            # serving fast path: same megakernel shape, tanh GELU on bf16
-            # (erf for fp32 — but fp32 weights never fit the VMEM budget, so
-            # the fp32 parity path always takes the XLA chain below)
-            from gavit_tpu.ops.mlp import fused_mlp_inference
-
-            d = x.shape[-1]
-            w1, b1 = _DenseParams(self.hidden_dim, d, name="fc1")()
-            w2, b2 = _DenseParams(self.out_dim, self.hidden_dim,
-                                  name="fc2")()
-            return fused_mlp_inference(
-                x.astype(self.dtype),
-                w1.astype(self.dtype), b1.astype(self.dtype),
-                w2.astype(self.dtype), b2.astype(self.dtype),
-                self.dtype == jnp.bfloat16,
-            )
         x = QDense(self.hidden_dim, dtype=self.dtype, quant=self.quant,
                    name="fc1")(x, fuse_bias_grad=not deterministic)
         if not deterministic and self.drop > 0.0:

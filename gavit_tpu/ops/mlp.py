@@ -329,10 +329,15 @@ def kernel_mask(seed, m: int, f: int, rate: float, bm: int,
 # ---------------------------------------------------------------------------
 
 
-def _fallback_mask(seed, shape, rate):
-    return jax.random.bernoulli(
-        jax.random.PRNGKey(seed[0].astype(jnp.uint32)), 1.0 - rate, shape
+def _fallback_mask(seed, shape, rate, site=0):
+    """``site`` separates the hidden (0) and output (1) dropout draws —
+    one key for both would make the smaller mask a deterministic prefix of
+    the larger (threefry bits are shape-prefix-stable), correlating the two
+    dropout sites. Forward and backward must pass the same site per mask."""
+    key = jax.random.fold_in(
+        jax.random.PRNGKey(seed[0].astype(jnp.uint32)), site
     )
+    return jax.random.bernoulli(key, 1.0 - rate, shape)
 
 
 def _fallback_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate):
@@ -346,7 +351,7 @@ def _fallback_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate):
     y = (jnp.dot(g.astype(x2.dtype), w2, preferred_element_type=jnp.float32,
                  precision=prec) + b2)
     if out_rate > 0.0:
-        keep2 = _fallback_mask(seed, y.shape, out_rate)
+        keep2 = _fallback_mask(seed, y.shape, out_rate, site=1)
         y = jnp.where(keep2, y * (1.0 / (1.0 - out_rate)), 0.0)
     return y.astype(x2.dtype), h1
 
@@ -354,7 +359,7 @@ def _fallback_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate):
 def _fallback_bwd(dy2, h1, w2, seed, rate, out_rate):
     prec = _prec(dy2.dtype)
     if out_rate > 0.0:
-        keep2 = _fallback_mask(seed, dy2.shape, out_rate)
+        keep2 = _fallback_mask(seed, dy2.shape, out_rate, site=1)
         dy2 = jnp.where(keep2, dy2.astype(jnp.float32)
                         * (1.0 / (1.0 - out_rate)), 0.0).astype(dy2.dtype)
     h1f = h1.astype(jnp.float32)

@@ -131,7 +131,11 @@ def data_feed_spec(mesh: Mesh) -> tuple[int, int, int]:
     if jax.process_count() == 1:
         return 0, 1, data_axis_size(mesh)
     coords: dict[int, set[int]] = {}
-    arr = mesh.devices
+    # 'data' may be any mesh dimension (callers supply arbitrary axis
+    # orders) — group by the data-axis coordinate, not dimension 0
+    arr = np.moveaxis(
+        mesh.devices, mesh.axis_names.index("data"), 0
+    )
     for di in range(arr.shape[0]):
         for dev in arr[di].ravel():
             coords.setdefault(dev.process_index, set()).add(di)

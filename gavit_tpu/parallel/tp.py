@@ -12,10 +12,15 @@ style PartitionSpecs over the reserved ``model`` mesh axis —
 
 Placing parameters with these shardings under ``jit`` makes XLA's SPMD
 partitioner distribute the matmuls and insert the collectives — no manual
-``psum`` anywhere. The fused Pallas attention kernel is opaque to GSPMD, so
-TP runs use ``attn_impl='xla'`` (or 'reference'); the Pallas path is the
-DP-only fast path. Correctness (TP math == single-device math) is pinned by
-``tests/test_tensor_parallel.py`` on the virtual 8-device mesh.
+``psum`` anywhere. The fused attention kernels stay in play under TP: their
+partitioning rules declare the heads dim shardable
+(``parallel/op_sharding.py::head_partitioned_cached``), so each chip runs
+its local heads (v4's flat layout and the fused MLP megakernel are the
+exceptions — their dispatches fall back to TP-safe forms automatically, see
+``ops/attention.py`` / ``models/layers.py::Mlp``). The graph kernels remain
+``graph_impl='xla'`` under TP. Correctness (TP math == single-device math,
+pallas == xla) is pinned by ``tests/test_tensor_parallel.py`` on the
+virtual 8-device mesh.
 """
 
 from __future__ import annotations

@@ -147,16 +147,24 @@ def main():
         train_ds, val_ds = create_datasets(config, args.synthetic)
         log_dataset_info(train_ds, val_ds)
 
-        # each process feeds its shard of the global batch (single-process:
-        # local == global). Grain shards via ShardByJaxProcess; the threaded
-        # loader via shard_by_process index slicing.
-        pc = jax.process_count()
-        if config.data.batch_size % pc:
+        # each feeding GROUP supplies one stream of the global batch
+        # (single-process: local == global). Groups come from the mesh, not
+        # the process count: processes whose devices hold the same data-axis
+        # coordinates (a model axis crossing hosts, e.g. pure-TP (1, n))
+        # land in one group and feed identical data — data_feed_spec
+        # resolves both the aligned and the shared-feeding layouts.
+        from gavit_tpu.parallel.mesh import data_feed_spec
+
+        shard_index, num_shards, _k = data_feed_spec(mesh)
+        if config.data.batch_size % num_shards:
             raise ValueError(
                 f"global batch {config.data.batch_size} not divisible by "
-                f"process count {pc}"
+                f"the {num_shards} feeding streams of mesh "
+                f"{dict(zip(mesh.axis_names, mesh.devices.shape))}"
             )
-        local_bs = config.data.batch_size // pc
+        local_bs = config.data.batch_size // num_shards
+        shard = ((shard_index, num_shards)
+                 if jax.process_count() > 1 else None)
         if config.data.loader == "grain":
             # checkpointable iteration: mid-epoch preemption resumes on the
             # next unseen sample (Trainer persists the iterator state)
@@ -165,21 +173,21 @@ def main():
             train_loader = GrainLoader(
                 train_ds, local_bs, shuffle=True,
                 num_workers=config.data.num_workers, drop_last=True,
-                seed=config.training.seed,
+                seed=config.training.seed, shard=shard,
             )
             val_loader = GrainLoader(
                 val_ds, local_bs, shuffle=False,
-                num_workers=config.data.num_workers,
+                num_workers=config.data.num_workers, shard=shard,
             )
         else:
             train_loader = DataLoader(
                 train_ds, local_bs, shuffle=True,
                 num_workers=config.data.num_workers, drop_last=True,
-                seed=config.training.seed, shard_by_process=pc > 1,
+                seed=config.training.seed, shard=shard,
             )
             val_loader = DataLoader(
                 val_ds, local_bs, shuffle=False,
-                num_workers=config.data.num_workers, shard_by_process=pc > 1,
+                num_workers=config.data.num_workers, shard=shard,
             )
 
         model, params = create_model(config, jax.random.key(config.training.seed))

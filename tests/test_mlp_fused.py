@@ -38,7 +38,7 @@ def _reference(x, w1, b1, w2, b2, seed, rate, out_rate=0.0):
     y = jnp.dot(g.astype(x.dtype), w2, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST) + b2
     if out_rate > 0.0:
-        keep2 = _fallback_mask(seed, y.shape, out_rate)
+        keep2 = _fallback_mask(seed, y.shape, out_rate, site=1)
         y = jnp.where(keep2, y / (1.0 - out_rate), 0.0)
     return y.astype(x.dtype).reshape(x.shape)
 
@@ -176,3 +176,24 @@ def test_mlp_module_deterministic_uses_inference_path():
     y_xla = m_xla.apply(p, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_xla),
                                atol=1e-6)
+
+
+def test_fallback_out_mask_not_prefix_of_hidden_mask():
+    """One PRNGKey for both dropout sites made the [m,d] out-mask the exact
+    prefix of the [m,f] hidden mask (threefry bits are shape-prefix-stable)
+    — correlated sites. The site fold-in decorrelates them; fwd and bwd use
+    the same site per mask so regeneration still matches."""
+    import jax.numpy as jnp
+
+    from gavit_tpu.ops.mlp import _fallback_mask
+
+    seed = jnp.array([7], jnp.int32)
+    m, f, d = 16, 64, 32
+    hidden = np.asarray(_fallback_mask(seed, (m, f), 0.5, site=0))
+    out = np.asarray(_fallback_mask(seed, (m, d), 0.5, site=1))
+    # the old construction satisfied this identity exactly:
+    assert not np.array_equal(out.ravel(), hidden.ravel()[: m * d])
+    # same seed+site stays deterministic (bwd regenerates fwd's masks)
+    np.testing.assert_array_equal(
+        out, np.asarray(_fallback_mask(seed, (m, d), 0.5, site=1))
+    )

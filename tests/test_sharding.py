@@ -204,3 +204,32 @@ def test_ragged_tail_train_epoch_on_mesh(tmp_path):
     metrics = t.train_epoch()
     assert int(t.state.step) == 2  # batches of 16 and 5(padded to 8)
     assert np.isfinite(metrics["loss"])
+
+
+def test_data_feed_spec_axis_order_independent(monkeypatch):
+    """data_feed_spec must group by the 'data' AXIS, not mesh dimension 0 —
+    Trainer/evaluate accept caller-supplied meshes of any axis order."""
+    import types
+
+    import numpy as np
+
+    from gavit_tpu.parallel import mesh as mesh_lib
+
+    class _Dev:
+        def __init__(self, pid):
+            self.process_index = pid
+
+    # 4 processes, mesh ('model'=2, 'data'=2): process p owns the devices
+    # of data-coordinate p % 2 and model-coordinate p // 2 → two feeding
+    # groups {0,2} (data 0) and {1,3} (data 1). Grouping by dim 0 would
+    # instead split on the MODEL coordinate.
+    devs = np.array([[_Dev(0), _Dev(1)], [_Dev(2), _Dev(3)]], dtype=object)
+    fake_mesh = types.SimpleNamespace(
+        devices=devs, axis_names=("model", "data")
+    )
+    monkeypatch.setattr(mesh_lib.jax, "process_count", lambda: 4)
+    for pid, expect in [(0, 0), (1, 1), (2, 0), (3, 1)]:
+        monkeypatch.setattr(mesh_lib.jax, "process_index", lambda p=pid: p)
+        shard_index, num_shards, k = mesh_lib.data_feed_spec(fake_mesh)
+        assert (shard_index, num_shards, k) == (expect, 2, 1), (
+            pid, shard_index, num_shards, k)

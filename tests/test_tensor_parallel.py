@@ -345,3 +345,56 @@ def test_head_shard_constraint_indivisible_heads_noop():
     with jax.set_mesh(mesh):
         out = jax.jit(f)(xs)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_mlp_fused_dispatch_skips_tp_context(monkeypatch):
+    """The fused-MLP megakernel's partitioning rule declares its weights
+    replicated, so under a >1 'model' axis it would all-gather the
+    Megatron-sharded fc1/fc2 per layer per call (TPU-only: the CPU path
+    short-circuits before the wrapper, so this pins the DISPATCH decision
+    with a sentinel rather than the HLO). Mlp must skip the fused path
+    inside a TP mesh context — at EVERY entry point (the serving path
+    missed this; the trainer separately forces mlp_impl='xla')."""
+    import gavit_tpu.ops.mlp as mlp_ops
+    from gavit_tpu.models.layers import Mlp
+    from gavit_tpu.ops.mlp import pick_block
+
+    d, f, b, n = 256, 1024, 8, 64
+    assert pick_block(b * n, d, f, 2) is not None  # megakernel-eligible
+    mlp = Mlp(hidden_dim=f, out_dim=d, dtype=jnp.bfloat16, impl="auto")
+    x = jax.random.normal(jax.random.key(0), (b, n, d), jnp.float32)
+    params = mlp.init(jax.random.key(1), x, deterministic=True)
+    ref = jax.jit(lambda p, x: mlp.apply(p, x, deterministic=True))(params, x)
+
+    calls = []
+
+    def sentinel(*args, **kw):
+        calls.append(1)
+        return mlp_ops._chain_infer(
+            args[0].reshape(-1, args[0].shape[-1]), args[1],
+            args[2].reshape(1, -1), args[3], args[4].reshape(1, -1),
+            args[5] if len(args) > 5 else True,
+        ).reshape(args[0].shape)
+
+    monkeypatch.setattr(mlp_ops, "fused_mlp_inference", sentinel)
+    # outside any TP context the fused serving path MUST engage
+    mlp.apply(params, x, deterministic=True)
+    assert calls, "fused serving path did not engage outside TP"
+
+    calls.clear()
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    specs = {"params": {
+        "fc1": {"kernel": P(None, "model"), "bias": P("model")},
+        "fc2": {"kernel": P("model", None), "bias": P()},
+    }}
+    sp = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                      is_leaf=lambda v: isinstance(v, P))
+    tp_params = jax.device_put(params, sp)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    with jax.set_mesh(mesh):
+        out = jax.jit(lambda p, x: mlp.apply(p, x, deterministic=True))(
+            tp_params, xs)
+    assert not calls, "fused serving path engaged under a >1 'model' axis"
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=5e-2, rtol=5e-2)
