@@ -301,6 +301,12 @@ class MeshConfig:
     model: int = 1
     fsdp: bool = False
     fsdp_min_size: int = 4096
+    # sequence parallelism (Megatron-SP): with model > 1, keep the residual
+    # stream token-sharded along 'model' through the LayerNorm / dropout /
+    # residual-add segments between the matmul regions — GSPMD turns the
+    # row-parallel all-reduces into reduce-scatter + all-gather pairs and
+    # the elementwise segments compute (and store) 1/tp of the tokens.
+    sp: bool = False
     extra: dict = field(default_factory=dict)
 
 

@@ -32,7 +32,10 @@ from gavit_tpu.ops.attention import (
     fused_qkv_attention,
     multi_head_attention,
 )
-from gavit_tpu.parallel.op_sharding import head_shard_constraint
+from gavit_tpu.parallel.op_sharding import (
+    head_shard_constraint,
+    seq_shard_constraint,
+)
 
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 LN_EPS = 1e-5
@@ -418,6 +421,9 @@ class Block(nn.Module):
     attn_impl: str = "auto"
     mlp_impl: str = "auto"
     quant: bool = False
+    # sequence parallelism: keep the residual stream token-sharded along
+    # 'model' through the LN/dropout/residual segments (config mesh.sp)
+    sp: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, return_probs: bool = False):
@@ -434,7 +440,10 @@ class Block(nn.Module):
         # the saved dropout-intermediate round-trip; BASELINE.md round-2
         # table), so the Block keeps the separate kernel + XLA add.
         def residual(x, branch):
-            return x + maybe_drop_path(branch)
+            y = x + maybe_drop_path(branch)
+            if self.sp:
+                y = seq_shard_constraint(y)
+            return y
 
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
         attn_out = Attention(

@@ -43,6 +43,9 @@ class VisionTransformer(nn.Module):
     mlp_impl: str = "auto"
     # int8 dynamic-quantised GEMMs (serving PTQ; 2x MXU peak on v5e)
     quant: bool = False
+    # sequence parallelism under TP (config mesh.sp): token-shard the
+    # residual stream through the elementwise segments
+    sp: bool = False
 
     @nn.compact
     def __call__(
@@ -86,6 +89,10 @@ class VisionTransformer(nn.Module):
         x = jnp.concatenate([cls, x], axis=1)
         x = x + pos_embed.astype(self.dtype)
         x = FusedDropout(cfg.drop_rate)(x, deterministic=deterministic)
+        if self.sp:
+            from gavit_tpu.parallel.op_sharding import seq_shard_constraint
+
+            x = seq_shard_constraint(x)
 
         graph_sites = set(cfg.graph_insert_after())
         dpr = [
@@ -111,7 +118,7 @@ class VisionTransformer(nn.Module):
                 qkv_bias=cfg.qkv_bias, drop=cfg.drop_rate,
                 attn_drop=cfg.attn_drop_rate, drop_path_rate=dpr[i],
                 dtype=self.dtype, attn_impl=self.attn_impl,
-                mlp_impl=self.mlp_impl,
+                mlp_impl=self.mlp_impl, sp=self.sp,
                 quant=self.quant, name=f"blocks_{i}",
             )(x, deterministic, capture == "attention")
             if capture == "attention":
@@ -147,13 +154,14 @@ class VisionTransformer(nn.Module):
 
 def build_model(cfg: ModelConfig, *, precision: str = "fp32",
                 attn_impl: str = "auto", graph_impl: str = "auto",
-                mlp_impl: str = "auto"):
+                mlp_impl: str = "auto", sp: bool = False):
     """precision: 'fp32' (parity eval) | 'bf16' (training/serving) |
-    'int8' (PTQ serving: int8 GEMMs, bf16 elsewhere)."""
+    'int8' (PTQ serving: int8 GEMMs, bf16 elsewhere). ``sp``: sequence
+    parallelism under a >1 'model' mesh axis (config ``mesh.sp``)."""
     dtype = jnp.float32 if precision == "fp32" else jnp.bfloat16
     return VisionTransformer(
         cfg=cfg, dtype=dtype, attn_impl=attn_impl, graph_impl=graph_impl,
-        mlp_impl=mlp_impl, quant=(precision == "int8"),
+        mlp_impl=mlp_impl, quant=(precision == "int8"), sp=sp,
     )
 
 

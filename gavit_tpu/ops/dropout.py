@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gavit_tpu.parallel.op_sharding import batch_partitioned
+from gavit_tpu.parallel.op_sharding import elementwise_partitioned
 
 
 def _on_tpu() -> bool:
@@ -58,9 +58,10 @@ def _run(x, seed, rate):
 
 @functools.lru_cache(maxsize=None)
 def _dropout_cp(rate):
-    return batch_partitioned(
+    # elementwise: batch/token/feature shards all run kernel-locally (TP's
+    # feature-sharded hidden and SP's token-sharded residual stream included)
+    return elementwise_partitioned(
         lambda x, seed: _run_kernel(x, seed, rate),
-        (0, None), (0,),
         seed_arg=1, seed_stride=lambda args: args[0].shape[0],
     )
 
@@ -136,9 +137,8 @@ def _run_add(y, residual, seed, rate):
 
 @functools.lru_cache(maxsize=None)
 def _dropout_add_cp(rate):
-    return batch_partitioned(
+    return elementwise_partitioned(
         lambda y, r, seed: _run_add_kernel(y, r, seed, rate),
-        (0, 0, None), (0,),
         seed_arg=2, seed_stride=lambda args: args[0].shape[0],
     )
 
@@ -316,9 +316,12 @@ def _run_gelu_dropout(x, seed, rate):
 
 @functools.lru_cache(maxsize=None)
 def _gd_cp(rate):
-    return batch_partitioned(
+    # elementwise rule: under Megatron TP the fc1 hidden arrives feature-
+    # sharded — the old batch-only declaration all-gathered [B, N, F] here
+    # every block (fwd AND bwd)
+    return elementwise_partitioned(
         lambda x, seed: _run_gelu_dropout_kernel(x, seed, rate),
-        (0, None), (0,), seed_arg=1, seed_stride=_gd_stride,
+        seed_arg=1, seed_stride=_gd_stride,
     )
 
 
@@ -346,9 +349,9 @@ def _run_gelu_dropout_bwd(x, g, seed, rate):
 
 @functools.lru_cache(maxsize=None)
 def _gd_bwd_cp(rate):
-    return batch_partitioned(
+    return elementwise_partitioned(
         lambda x, g, seed: _run_gelu_dropout_bwd_kernel(x, g, seed, rate),
-        (0, 0, None), (0,), seed_arg=2, seed_stride=_gd_stride,
+        seed_arg=2, seed_stride=_gd_stride,
     )
 
 

@@ -230,6 +230,92 @@ def batch_partitioned_cached(impl, n_in, n_out, *static):
     )
 
 
+def elementwise_partitioned(fn, *, seed_arg, seed_stride):
+    """Wrap an elementwise kernel so EVERY dim may stay sharded.
+
+    The dropout-family kernels are elementwise over same-shaped array
+    operands, so — unlike the structured attention/MLP kernels — no dim
+    needs replication: under Megatron TP the fc1 hidden arrives
+    feature-sharded ([B, N, F/tp]) and under sequence parallelism the
+    residual stream arrives token-sharded; :func:`batch_partitioned`'s
+    batch-only declaration made GSPMD all-gather those dims around the
+    kernel (a per-block [B, N, 3072] gather in TP training). The rule
+    here: all array operands and the output take the FIRST array operand's
+    sharding verbatim; the seed stays replicated and is offset per shard
+    by the linear shard index over every sharded mesh axis (dim order,
+    matching ``lax.axis_index``'s row-major linearisation) × ``stride`` =
+    the local PRNG-stream (grid) count. The offset is computed from the
+    shard-local shapes identically in forward and backward — both wrappers
+    see the same local operand shape and the same spec — so backward mask
+    regeneration still matches exactly.
+
+    Args:
+      fn: positional function of arrays with one array output; close over
+        static params first.
+      seed_arg: index of the int32 ``[1]`` seed argument.
+      seed_stride: ``f(local_args) -> int`` — PRNG streams one shard's
+        kernel consumes (its local grid size).
+    """
+    cp = custom_partitioning(fn)
+
+    def _operand_spec(arg_shapes):
+        for i, a in enumerate(arg_shapes):
+            if i == seed_arg:
+                continue
+            if isinstance(a.sharding, NamedSharding):
+                return a.sharding.spec
+        return P()
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        del result_shape
+        return NamedSharding(mesh, _operand_spec(arg_shapes))
+
+    def partition(mesh, arg_shapes, result_shape):
+        del result_shape
+        spec = _operand_spec(arg_shapes)
+        sh = NamedSharding(mesh, spec)
+        repl = NamedSharding(mesh, P())
+        arg_sh = tuple(
+            repl if i == seed_arg else sh for i in range(len(arg_shapes))
+        )
+        axes = []
+        for entry in spec:
+            if entry is None:
+                continue
+            axes.extend(entry if isinstance(entry, tuple) else (entry,))
+        axes = tuple(axes)
+
+        def lower_fn(*args):
+            if axes:
+                idx = lax.axis_index(axes[0] if len(axes) == 1 else axes)
+                args = list(args)
+                args[seed_arg] = (
+                    args[seed_arg]
+                    + idx.astype(np.int32) * np.int32(seed_stride(args))
+                )
+            return fn(*args)
+
+        return mesh, lower_fn, sh, arg_sh
+
+    def sharding_rule(mesh, value_types, result_types):
+        del mesh
+        rank = len(result_types[0].shape)
+        letters = [f"e{d}" for d in range(rank)]
+        shared = " ".join(letters)
+        lhs = ", ".join(
+            "zz" if i == seed_arg else shared
+            for i in range(len(value_types))
+        )
+        return f"{lhs} -> {shared}", {"need_replication_factors": ("zz",)}
+
+    cp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=sharding_rule,
+    )
+    return cp
+
+
 @functools.lru_cache(maxsize=None)
 def head_partitioned_cached(impl, arg_dims, out_dims, *static):
     """Cached :func:`batch_partitioned` for (batch, heads)-factor ops.
@@ -284,6 +370,33 @@ def head_shard_constraint(x, head_dim: int, axis: str = "model",
         return x  # indivisible heads: replicated fallback is correct
     entries = [None] * x.ndim
     entries[head_dim] = axis
+    if batch_axis in mesh.shape:
+        entries[0] = batch_axis
+    return lax.with_sharding_constraint(x, P(*entries))
+
+
+def seq_shard_constraint(x, token_dim: int = 1, axis: str = "model",
+                         batch_axis: str = "data"):
+    """Pin an activation to batch×token sharding under TP (no-op otherwise).
+
+    Sequence parallelism (Megatron-SP): under tensor parallelism the
+    residual stream is by default replicated along 'model' through the
+    LayerNorm / dropout / residual-add segments between the matmul
+    regions — every chip computes (and stores) the full [B, N, C] stream
+    and the row-parallel proj/fc2 outputs arrive via all-reduce. With the
+    stream constrained token-sharded instead, GSPMD splits each all-reduce
+    into reduce-scatter (into the elementwise segment) + all-gather (out of
+    it, before the next column-parallel GEMM) — same ICI bytes, but the
+    elementwise compute and the stream's activation memory drop to 1/tp per
+    chip. Ragged token counts (ViT's N = patches + CLS is odd) are handled
+    by GSPMD's internal padding. Applied by Block/VisionTransformer when
+    built with ``sp=True`` (config ``mesh.sp``).
+    """
+    if not tp_axis_in_context(axis):
+        return x
+    mesh = jax.sharding.get_abstract_mesh()
+    entries = [None] * x.ndim
+    entries[token_dim] = axis
     if batch_axis in mesh.shape:
         entries[0] = batch_axis
     return lax.with_sharding_constraint(x, P(*entries))

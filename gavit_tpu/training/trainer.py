@@ -123,6 +123,11 @@ class Trainer:
                     f"(was {getattr(model, 'mlp_impl', None)!r})"
                 )
                 self.model = model = model.clone(mlp_impl="xla")
+            if config.mesh.sp and not getattr(model, "sp", False):
+                # sequence parallelism: token-shard the residual stream
+                # through the LN/dropout/residual segments (the constraint
+                # resolves against the ambient mesh set around the jit)
+                self.model = model = model.clone(sp=True)
 
         tr = config.training
         self.metric_calculator = MetricCalculator(train_loader.dataset.disease_names)

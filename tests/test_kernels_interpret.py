@@ -198,3 +198,4 @@ def test_fused_mlp_inference_kernel_matches_chain():
                           False).reshape(x.shape)
     a, b = np.asarray(y, np.float32), np.asarray(ref, np.float32)
     assert np.abs(a - b).max() / max(np.abs(b).max(), 1e-6) < 2e-2
+

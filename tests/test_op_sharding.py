@@ -174,3 +174,124 @@ def test_fused_mlp_cpu_path_unchanged_by_wrappers(rate, out_rate):
     y = fused_mlp(x, w1, b1, w2, b2, s, rate, out_rate)
     y2 = fused_mlp(x, w1, b1, w2, b2, s, rate, out_rate)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+
+
+def test_elementwise_partitioned_plumbing():
+    """elementwise_partitioned lets EVERY dim stay sharded (TP's feature-
+    sharded hidden, SP's token-sharded stream), with the per-shard seed
+    offset linearised over all sharded axes — and no all-gather in the
+    HLO for a 2-D (data × model) sharding."""
+    from gavit_tpu.parallel.op_sharding import elementwise_partitioned
+
+    def impl(x, seed):
+        return x + seed[0].astype(x.dtype)
+
+    wrapped = elementwise_partitioned(
+        impl, seed_arg=1, seed_stride=lambda args: args[0].shape[0],
+    )
+
+    x = jnp.zeros((8, 4), jnp.float32)
+    seed = jnp.asarray([7], jnp.int32)
+
+    # single device: offset 0
+    np.testing.assert_allclose(np.asarray(jax.jit(wrapped)(x, seed)), 7.0)
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    # batch AND feature sharded: linear index = data_idx*2 + model_idx,
+    # stride = local rows (2)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "model")))
+    fn = jax.jit(wrapped)
+    y = np.asarray(fn(xs, seed))
+    hlo = fn.lower(xs, seed).compile().as_text()
+    assert "all-gather" not in hlo
+    for di in range(4):
+        for mi in range(2):
+            block = y[2 * di: 2 * di + 2, 2 * mi: 2 * mi + 2]
+            np.testing.assert_allclose(block, 7.0 + (di * 2 + mi) * 2)
+
+    # feature-only sharding (the Megatron-TP hidden layout)
+    xf = jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+    yf = np.asarray(jax.jit(wrapped)(xf, seed))
+    for mi in range(2):
+        np.testing.assert_allclose(
+            yf[:, 2 * mi: 2 * mi + 2], 7.0 + mi * 8
+        )
+
+
+def test_gelu_dropout_feature_sharded_no_allgather():
+    """The TP MLP chain's mid-site: fused_gelu_dropout on a [B, N, F]
+    hidden sharded ('data', None, 'model') must run shard-locally — the
+    old batch-only rule all-gathered the F dim around the kernel every
+    block. CPU short-circuits to the XLA fallback (also elementwise, also
+    no gather), so this pins the fallback path's HLO; the kernel path's
+    rule is pinned by the stand-in test above and the interpret-mode
+    sharded-mask test in test_kernels_interpret.py."""
+    from gavit_tpu.ops.dropout import fused_gelu_dropout
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    x = jax.random.normal(jax.random.key(0), (8, 16, 64), jnp.float32)
+    seed = jnp.asarray([3], jnp.int32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, "model")))
+
+    def f(x, seed):
+        return jnp.sum(fused_gelu_dropout(x, seed, 0.1))
+
+    fn = jax.jit(jax.grad(f))
+    g = fn(xs, seed)
+    hlo = fn.lower(xs, seed).compile().as_text()
+    assert "all-gather" not in hlo
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_gelu_dropout_sharded_masks_regenerate_in_backward(monkeypatch):
+    """The elementwise rule's at-risk property: the forward and backward
+    wrappers are SEPARATE custom-partitioning calls that must derive the
+    same per-shard seed offsets (same spec, same local shapes) so the
+    backward regenerates the forward's masks. Interpret-mode pallas cannot
+    lower inside a partition body (ordered-IO callback effect), so the
+    kernel runners are swapped for pure-XLA stand-ins with the kernels'
+    seed→mask semantics (deterministic in (seed, local shape)); the kernel
+    BODIES are covered single-device in test_kernels_interpret.py."""
+    import gavit_tpu.ops.dropout as dmod
+    from gavit_tpu.ops.dropout import _gelu_f32, _gelu_grad_f32
+
+    rate = 0.4
+
+    def _mask(seed, shape):
+        return jax.random.bernoulli(
+            jax.random.PRNGKey(seed[0].astype(jnp.uint32)), 1.0 - rate, shape
+        )
+
+    def standin_fwd(x, seed, _rate):
+        y = _gelu_f32(x.astype(jnp.float32)) / (1.0 - rate)
+        return jnp.where(_mask(seed, x.shape), y, 0.0).astype(x.dtype)
+
+    def standin_bwd(x, g, seed, _rate):
+        dx = (_gelu_grad_f32(x.astype(jnp.float32))
+              * g.astype(jnp.float32) / (1.0 - rate))
+        return jnp.where(_mask(seed, x.shape), dx, 0.0).astype(x.dtype)
+
+    monkeypatch.setattr(dmod, "_on_tpu", lambda: True)
+    monkeypatch.setattr(dmod, "_run_gelu_dropout_kernel", standin_fwd)
+    monkeypatch.setattr(dmod, "_run_gelu_dropout_bwd_kernel", standin_bwd)
+    dmod._gd_cp.cache_clear()
+    dmod._gd_bwd_cp.cache_clear()
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    x = jnp.ones((8, 16, 64), jnp.float32)
+    seed = jnp.asarray([11], jnp.int32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, "model")))
+
+    y = np.asarray(jax.jit(
+        lambda x: dmod.fused_gelu_dropout(x, seed, rate))(xs))
+    g = np.asarray(jax.jit(jax.grad(
+        lambda x: jnp.sum(dmod.fused_gelu_dropout(x, seed, rate))))(xs))
+    kept = y != 0.0
+    assert 0.3 < kept.mean() < 0.9
+    np.testing.assert_array_equal(g != 0.0, kept)
+    # shards draw distinct streams: the two feature halves differ, and so
+    # do the data shards
+    assert not np.array_equal(kept[..., :32], kept[..., 32:])
+    assert not np.array_equal(kept[:2], kept[2:4])
+    dmod._gd_cp.cache_clear()
+    dmod._gd_bwd_cp.cache_clear()

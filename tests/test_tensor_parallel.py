@@ -398,3 +398,64 @@ def test_mlp_fused_dispatch_skips_tp_context(monkeypatch):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_sp_training_step_matches_dp(tmp_path):
+    """Sequence parallelism (config mesh.sp): the Trainer clones the model
+    with sp=True under a >1 'model' axis, the residual stream carries
+    token-sharding constraints, and the full train step still reproduces
+    the dp-only update exactly (drop_rate 0 — dropout masks are sharding-
+    dependent by design)."""
+    from gavit_tpu.config import from_dict
+    from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
+    from gavit_tpu.parallel.mesh import shard_batch
+    from gavit_tpu.training import Trainer
+
+    def make(mesh_cfg, impl):
+        cfg = from_dict({
+            "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                      "embed_dim": 32, "depth": 2, "num_heads": 2,
+                      "num_classes": 14, "drop_rate": 0.0,
+                      "graph": {"enabled": True, "num_blocks": 1,
+                                "adjacency": "knn", "k": 2}},
+            "data": {"batch_size": 16, "image_size": 16},
+            "training": {"epochs": 1, "warmup_epochs": 1,
+                         "precision": "fp32"},
+            "mesh": mesh_cfg,
+            "paths": {"save_dir": str(tmp_path / "ckpt"),
+                      "log_dir": str(tmp_path / "logs")},
+        })
+        model = build_model(cfg.model, precision="fp32", **impl)
+        params = init_params(model, jax.random.key(0))
+        ds = SyntheticChestXrayDataset(size=16, image_size=16, seed=0)
+        loader = DataLoader(ds, 16, num_workers=0)
+        return cfg, Trainer(model, params, loader, loader, cfg)
+
+    images, labels = next(iter(DataLoader(
+        SyntheticChestXrayDataset(size=16, image_size=16, seed=0), 16,
+        num_workers=0,
+    )))
+
+    results = {}
+    for name, mesh_cfg, impl in [
+        ("dp", {"data": 8, "model": 1}, {}),
+        ("sp", {"data": 4, "model": 2, "sp": True},
+         {"attn_impl": "xla", "graph_impl": "xla"}),
+    ]:
+        cfg, tr = make(mesh_cfg, impl)
+        if name == "sp":
+            assert tr.model.sp, "Trainer did not enable sp from mesh.sp"
+        batch = shard_batch(tr.mesh, (images, labels))
+        state, metrics, _ = tr._train_step(tr.state, tr.base_rng, *batch)
+        results[name] = (state, float(metrics["loss"]))
+
+    sp_state, sp_loss = results["sp"]
+    dp_state, dp_loss = results["dp"]
+    np.testing.assert_allclose(sp_loss, dp_loss, atol=1e-5)
+    for key in (("blocks_0", "attn", "qkv", "kernel"),
+                ("blocks_1", "mlp", "fc2", "kernel"),
+                ("head", "kernel")):
+        a, b = sp_state.params["model"], dp_state.params["model"]
+        for k in key:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
