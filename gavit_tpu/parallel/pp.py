@@ -1,0 +1,180 @@
+"""Pipeline parallelism (GPipe) for the ViT trunk.
+
+The reference is single-device (``/root/reference/scripts/train.py:133``);
+dp/tp/fsdp/sp cover every scale its model family needs on a v5e slice —
+ViT-L fits one chip with room to spare. This module is the capability for
+models that DON'T: depth-scaled backbones whose trunk exceeds a chip even
+under ZeRO-3. It is deliberately TPU-idiomatic rather than a torch-style
+stage-process design: the transformer trunk is a *homogeneous stack* of
+blocks, so the per-block parameter trees are stacked along a leading layer
+dim, that dim is sharded over a ``pipe`` mesh axis (each stage holds a
+contiguous chunk of layers), and a GPipe schedule runs as a
+``lax.scan`` over ticks inside ``shard_map``, rotating activations stage to
+stage with ``lax.ppermute`` over ICI. Autodiff through scan + ppermute
+yields the reverse pipeline for the backward pass — no hand-written
+schedule.
+
+Scope (asserted): the homogeneous trunk only — graph blocks interleave
+mid-trunk and stay on the dp/tp paths; blocks run deterministic (pipeline
+inference / frozen-trunk settings) with the XLA attention impl (the fused
+kernels' GSPMD partitioning rules do not apply inside a manual shard_map
+region). Embedding (patch + cls + pos) and the head (LN + linear) run
+replicated outside the pipelined region. Microbatch count M ≥ stages S
+keeps the bubble fraction at (S-1)/(M+S-1).
+
+Parity with the sequential model is exact and pinned by
+``tests/test_pipeline.py``: same param tree, same modules, logits and
+parameter gradients equal to ``VisionTransformer.apply``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gavit_tpu.config import ModelConfig
+from gavit_tpu.models.layers import LN_EPS, Block, PatchEmbed, QDense
+
+
+def make_pipe_mesh(n_stages: int, data: int = 1, devices=None) -> Mesh:
+    """A ('pipe', 'data') mesh: stages × data-parallel replicas."""
+    devices = devices if devices is not None else jax.devices()
+    if n_stages * data > len(devices):
+        raise ValueError(
+            f"pipe={n_stages} × data={data} needs {n_stages * data} devices,"
+            f" have {len(devices)}"
+        )
+    arr = np.asarray(devices[: n_stages * data]).reshape(n_stages, data)
+    return Mesh(arr, ("pipe", "data"))
+
+
+def split_params(params, depth: int):
+    """(pre, trunk, post) from a VisionTransformer param tree.
+
+    ``trunk`` stacks the per-block trees along a new leading layer dim —
+    the dim the 'pipe' axis shards. pre/post keep their original leaves, so
+    checkpoints round-trip (``merge_params`` inverts exactly).
+    """
+    blocks = [params[f"blocks_{i}"] for i in range(depth)]
+    trunk = jax.tree.map(lambda *ls: jnp.stack(ls), *blocks)
+    pre = {k: params[k] for k in ("patch_embed", "cls_token", "pos_embed")}
+    post = {k: params[k] for k in ("norm", "head")}
+    return pre, trunk, post
+
+
+def merge_params(pre, trunk, post, depth: int) -> dict:
+    """Inverse of :func:`split_params`."""
+    out = dict(pre)
+    out.update(post)
+    for i in range(depth):
+        out[f"blocks_{i}"] = jax.tree.map(lambda x: x[i], trunk)
+    return out
+
+
+def _embed(cfg: ModelConfig, dtype, pre, images):
+    x = PatchEmbed(
+        patch_size=cfg.patch_size, embed_dim=cfg.embed_dim, dtype=dtype,
+    ).apply({"params": pre["patch_embed"]}, images.astype(dtype))
+    b = images.shape[0]
+    cls = jnp.broadcast_to(
+        pre["cls_token"].astype(dtype), (b, 1, cfg.embed_dim)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    return x + pre["pos_embed"].astype(dtype)
+
+
+def _head(cfg: ModelConfig, dtype, post, x):
+    x = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype).apply(
+        {"params": post["norm"]}, x
+    )
+    logits = QDense(cfg.num_classes, dtype=dtype).apply(
+        {"params": post["head"]}, x[:, 0].astype(dtype)
+    )
+    return logits.astype(jnp.float32)
+
+
+def _block_apply(cfg: ModelConfig, dtype, p, x):
+    blk = Block(
+        dim=cfg.embed_dim, num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
+        qkv_bias=cfg.qkv_bias, dtype=dtype,
+        attn_impl="xla", mlp_impl="xla",
+    )
+    return blk.apply({"params": p}, x, True)
+
+
+def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
+                   num_microbatches: int, dtype=jnp.float32):
+    """Forward pass with the trunk pipelined over mesh axis 'pipe'.
+
+    ``params`` is the plain VisionTransformer tree (graph disabled). The
+    batch is split into ``num_microbatches`` GPipe microbatches; stage s
+    processes microbatch m at tick m + s, activations ride ``ppermute``
+    between consecutive stages, and the last stage's outputs are psum-
+    broadcast back (zeros everywhere else) for the replicated head.
+    Differentiable end to end.
+    """
+    if cfg.graph.enabled:
+        raise ValueError("pipeline trunk requires graph.enabled=False "
+                         "(graph blocks interleave mid-trunk; use dp/tp)")
+    S = mesh.shape["pipe"]
+    if cfg.depth % S:
+        raise ValueError(f"depth {cfg.depth} not divisible by {S} stages")
+    M = num_microbatches
+    b = images.shape[0]
+    if b % M or M < S:
+        raise ValueError(f"batch {b} / microbatches {M} / stages {S}: need "
+                         "M | b and M >= S")
+
+    pre, trunk, post = split_params(params, cfg.depth)
+    x = _embed(cfg, dtype, pre, images)          # [B, N, C], replicated
+    mbs = x.reshape(M, b // M, *x.shape[1:])     # [M, mb, N, C]
+
+    def stage_body(trunk_local, mbs):
+        s = lax.axis_index("pipe")
+
+        def run_blocks(x):
+            def step(x, p):
+                return _block_apply(cfg, dtype, p, x), None
+
+            x, _ = lax.scan(step, x, trunk_local)
+            return x
+
+        zero = jnp.zeros_like(mbs[0])
+
+        def tick(buf, t):
+            feed = jnp.where(t < M, mbs[jnp.minimum(t, M - 1)], zero)
+            y = run_blocks(jnp.where(s == 0, feed, buf))
+            nxt = lax.ppermute(
+                y, "pipe", [(i, i + 1) for i in range(S - 1)]
+            )
+            out = jnp.where(s == S - 1, y, zero)
+            return nxt, out
+
+        _, outs = lax.scan(tick, zero, jnp.arange(M + S - 1))
+        # stage S-1 emits microbatch m at tick m + S - 1; every other
+        # stage contributed zeros, so the psum is a broadcast
+        return lax.psum(outs[S - 1:], "pipe")
+
+    data_in = P(None, "data") if "data" in mesh.shape else P()
+    outs = jax.shard_map(
+        stage_body, mesh=mesh,
+        in_specs=(P("pipe"), data_in), out_specs=data_in,
+        check_vma=False,
+    )(trunk, mbs)
+    tokens = outs.reshape(b, *outs.shape[2:])
+    return _head(cfg, dtype, post, tokens)
+
+
+def pipeline_forward_fn(mesh: Mesh, cfg: ModelConfig,
+                        num_microbatches: int, dtype=jnp.float32):
+    """A jittable ``fn(params, images) -> logits`` closure."""
+    return functools.partial(
+        pipeline_apply, mesh, cfg, num_microbatches=num_microbatches,
+        dtype=dtype,
+    )
