@@ -126,6 +126,9 @@ class Predictor:
                 from gavit_tpu.parallel.tp import shard_model_params
 
                 self.params = shard_model_params(params, mesh)
+                if config.mesh.sp and not self.model.sp:
+                    # sequence parallelism for TP serving (config mesh.sp)
+                    self.model = self.model.clone(sp=True)
             else:
                 self.params = jax.device_put(
                     params, NamedSharding(mesh, P())

@@ -113,7 +113,7 @@ def _take_valid(arr: np.ndarray, valid) -> np.ndarray:
 
 
 def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0,
-             mesh=None):
+             mesh=None, sp=False):
     """Batch evaluation. With a ``mesh``, inference runs data-sharded over
     every device (the reference — and round-2's evaluate — were
     single-device; a 112k-image val epoch drops from ~30 s to ~4 s on
@@ -133,6 +133,10 @@ def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0,
 
         params = shard_model_params(params, mesh)
         mesh_ctx = lambda: jax.set_mesh(mesh)  # noqa: E731
+        if sp and not getattr(model, "sp", False):
+            # sequence parallelism: token-shard the residual stream through
+            # the LN/residual segments (config mesh.sp)
+            model = model.clone(sp=True)
 
     @jax.jit
     def forward(images_u8):
@@ -221,7 +225,8 @@ def main():
     mesh = make_mesh(config.mesh) if jax.device_count() > 1 else None
     if mesh is not None:
         logger.info(f"evaluating data-sharded over {mesh.devices.size} devices")
-    results = evaluate(model, params, dataloader, save_dir, mesh=mesh)
+    results = evaluate(model, params, dataloader, save_dir, mesh=mesh,
+                       sp=config.mesh.sp)
 
     # serving-path batch latency (Predictor = the production serve path)
     from gavit_tpu.serving import Predictor

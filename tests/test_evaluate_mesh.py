@@ -61,3 +61,22 @@ def test_tp_meshed_eval_matches_single_device(tmp_path):
         np.testing.assert_allclose(
             r_tp["metrics"][key], r1["metrics"][key], atol=2e-6, err_msg=key
         )
+
+
+def test_sp_meshed_eval_matches_single_device(tmp_path):
+    """mesh.sp on the evaluation path: token-sharded residual segments
+    under a dp×tp mesh reproduce the single-device metrics."""
+    from gavit_tpu.config import MeshConfig
+
+    cfg, model, params, loader = _setup()
+    mesh_tp = make_mesh(MeshConfig(data=4, model=2))
+    mesh1 = make_mesh(cfg.mesh, devices=jax.devices()[:1])
+
+    r_sp = evaluate(model, params, loader, tmp_path / "sp", mesh=mesh_tp,
+                    sp=True)
+    r1 = evaluate(model, params, loader, tmp_path / "m1", mesh=mesh1)
+    for key in ("mean_auc", "mean_f1", "exact_match"):
+        np.testing.assert_allclose(
+            r_sp["metrics"][key], r1["metrics"][key], atol=2e-6,
+            err_msg=key,
+        )
