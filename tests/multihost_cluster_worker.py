@@ -109,7 +109,8 @@ def main():
         "data": {"batch_size": GLOBAL_BS, "image_size": 16},
         "training": {"epochs": 1, "warmup_epochs": 1, "precision": "fp32",
                      "log_every": 1000},
-        "mesh": {"data": data_ax, "model": model_ax},
+        "mesh": {"data": data_ax, "model": model_ax,
+                 "sp": mode == "xtp_sp"},
         "paths": {"save_dir": savedir, "log_dir": os.path.join(savedir, "lg")},
     })
     mesh = make_mesh(cfg.mesh)
@@ -119,8 +120,10 @@ def main():
     result = {"process": pid, "mode": mode,
               "shard_index": shard_index, "num_shards": num_shards}
 
-    if mode == "xtp":
+    if mode in ("xtp", "xtp_sp"):
         trainer = build_trainer(cfg, mesh, shard)
+        if mode == "xtp_sp":
+            assert trainer.model.sp, "mesh.sp did not reach the model"
         qkv = trainer.state.params["model"]["blocks_0"]["attn"]["qkv"]["kernel"]
         assert "model" in str(qkv.sharding.spec), qkv.sharding
         result["val0"] = trainer.validate()

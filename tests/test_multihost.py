@@ -290,6 +290,24 @@ def test_two_process_pure_tp_shared_feeding_matches_single(tmp_path):
     np.testing.assert_allclose(a["val_auc"], ref_val["mean_auc"], atol=1e-3)
 
 
+def test_two_process_pure_tp_sp_matches_single(tmp_path):
+    """Cross-host TP + sequence parallelism (mesh.sp): the residual stream
+    is token-sharded over a 'model' axis that CROSSES hosts, and the
+    training result still equals a single-device run on the same stream."""
+    results = _run_cluster(2, 1, 1, 2, tmp_path / "ck", "xtp_sp")
+    a, b = results
+    for key in ("step", "train_loss", "val0_loss", "val_loss"):
+        assert a[key] == b[key], (key, a, b)
+
+    oracle = _oracle_trainer(tmp_path)
+    ref0 = oracle.validate()
+    ref_tm = oracle.train_epoch()
+    ref_val = oracle.validate()
+    np.testing.assert_allclose(a["val0_loss"], ref0["loss"], atol=5e-5)
+    np.testing.assert_allclose(a["train_loss"], ref_tm["loss"], atol=5e-5)
+    np.testing.assert_allclose(a["val_loss"], ref_val["loss"], atol=5e-5)
+
+
 def test_two_process_grain_loader_training():
     """The grain tier in a real 2-process cluster: per-process ShardByJaxProcess
     feeding, per-process len() (LR-schedule correctness), identical global
