@@ -5,3 +5,22 @@ from gavit_tpu.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from gavit_tpu.parallel.op_sharding import (  # noqa: F401
+    batch_partitioned,
+    elementwise_partitioned,
+    head_shard_constraint,
+    seq_shard_constraint,
+    tp_axis_in_context,
+)
+from gavit_tpu.parallel.pp import (  # noqa: F401
+    make_pipe_mesh,
+    merge_params,
+    pipeline_apply,
+    pipeline_forward_fn,
+    split_params,
+)
+from gavit_tpu.parallel.tp import (  # noqa: F401
+    model_param_specs,
+    shard_model_params,
+    train_state_shardings,
+)
