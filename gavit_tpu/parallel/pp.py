@@ -39,7 +39,10 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gavit_tpu.config import ModelConfig
-from gavit_tpu.models.layers import LN_EPS, Block, PatchEmbed, QDense
+
+# NOTE: gavit_tpu.models.layers imports from this package's op_sharding —
+# importing it at module scope from inside the package __init__ chain would
+# be circular, so the model modules are imported lazily in the appliers.
 
 
 def make_pipe_mesh(n_stages: int, data: int = 1, devices=None) -> Mesh:
@@ -78,6 +81,8 @@ def merge_params(pre, trunk, post, depth: int) -> dict:
 
 
 def _embed(cfg: ModelConfig, dtype, pre, images):
+    from gavit_tpu.models.layers import PatchEmbed
+
     x = PatchEmbed(
         patch_size=cfg.patch_size, embed_dim=cfg.embed_dim, dtype=dtype,
     ).apply({"params": pre["patch_embed"]}, images.astype(dtype))
@@ -90,6 +95,8 @@ def _embed(cfg: ModelConfig, dtype, pre, images):
 
 
 def _head(cfg: ModelConfig, dtype, post, x):
+    from gavit_tpu.models.layers import LN_EPS, QDense
+
     x = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype).apply(
         {"params": post["norm"]}, x
     )
@@ -100,6 +107,8 @@ def _head(cfg: ModelConfig, dtype, post, x):
 
 
 def _block_apply(cfg: ModelConfig, dtype, p, x):
+    from gavit_tpu.models.layers import Block
+
     blk = Block(
         dim=cfg.embed_dim, num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
         qkv_bias=cfg.qkv_bias, dtype=dtype,

@@ -459,3 +459,56 @@ def test_sp_training_step_matches_dp(tmp_path):
         for k in key:
             a, b = a[k], b[k]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_sp_with_fsdp_grad_accum_and_remat(tmp_path):
+    """Full composition: dp×tp mesh + sequence parallelism + ZeRO-3 FSDP +
+    grad_accum_steps=2 + model.remat in one training step reproduces the
+    plain dp update (the dryrun gates the same stack; this pins it in CI)."""
+    from gavit_tpu.config import from_dict
+    from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
+    from gavit_tpu.parallel.mesh import shard_batch
+    from gavit_tpu.training import Trainer
+
+    def make(mesh_cfg, impl, accum, remat):
+        cfg = from_dict({
+            "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                      "embed_dim": 32, "depth": 2, "num_heads": 2,
+                      "num_classes": 14, "drop_rate": 0.0, "remat": remat,
+                      "graph": {"enabled": True, "num_blocks": 1,
+                                "adjacency": "knn", "k": 2}},
+            "data": {"batch_size": 16, "image_size": 16},
+            "training": {"epochs": 1, "warmup_epochs": 1,
+                         "precision": "fp32", "grad_accum_steps": accum},
+            "mesh": mesh_cfg,
+            "paths": {"save_dir": str(tmp_path / "ckpt"),
+                      "log_dir": str(tmp_path / "logs")},
+        })
+        model = build_model(cfg.model, precision="fp32", **impl)
+        params = init_params(model, jax.random.key(0))
+        ds = SyntheticChestXrayDataset(size=16, image_size=16, seed=0)
+        loader = DataLoader(ds, 16, num_workers=0)
+        return Trainer(model, params, loader, loader, cfg)
+
+    images, labels = next(iter(DataLoader(
+        SyntheticChestXrayDataset(size=16, image_size=16, seed=0), 16,
+        num_workers=0,
+    )))
+
+    tr_ref = make({"data": 8, "model": 1}, {}, 1, False)
+    batch = shard_batch(tr_ref.mesh, (images, labels))
+    ref_state, ref_m, _ = tr_ref._train_step(tr_ref.state, tr_ref.base_rng,
+                                             *batch)
+
+    tr = make({"data": 4, "model": 2, "sp": True, "fsdp": True,
+               "fsdp_min_size": 512},
+              {"attn_impl": "xla", "graph_impl": "xla"}, 2, True)
+    assert tr.model.sp
+    batch = shard_batch(tr.mesh, (images, labels))
+    state, m, _ = tr._train_step(tr.state, tr.base_rng, *batch)
+
+    np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]),
+                               atol=1e-5)
+    a = state.params["model"]["blocks_0"]["mlp"]["fc1"]["kernel"]
+    b = ref_state.params["model"]["blocks_0"]["mlp"]["fc1"]["kernel"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
