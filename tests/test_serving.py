@@ -153,3 +153,32 @@ def test_meshed_tp_serving_params_sharded_and_match():
     np.testing.assert_allclose(
         meshed.predict_proba(imgs), single.predict_proba(imgs), atol=1e-6
     )
+
+
+def test_meshed_tp_int8_serving_matches_single_device():
+    """Static-PTQ int8 under a dp×tp mesh: calibration runs on the
+    Megatron-sharded params and the quantised serve path reproduces the
+    single-device int8 probabilities exactly."""
+    from gavit_tpu.config import MeshConfig
+    from gavit_tpu.parallel.mesh import make_mesh
+
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 1, "num_heads": 2,
+                  "num_classes": 14,
+                  "graph": {"enabled": True, "num_blocks": 1,
+                            "adjacency": "knn", "k": 2}},
+        "data": {"image_size": 16},
+    })
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 255, (8, 16, 16, 3), np.uint8)
+
+    p1 = Predictor(cfg, buckets=(8,), precision="int8")
+    p1.calibrate(imgs)
+    ref = p1.predict_proba(imgs)
+
+    pm = Predictor(cfg, buckets=(8,), precision="int8", mesh=mesh)
+    pm.calibrate(imgs)
+    out = pm.predict_proba(imgs)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
