@@ -19,6 +19,11 @@ from gavit_tpu.parallel.pp import (  # noqa: F401
     pipeline_forward_fn,
     split_params,
 )
+from gavit_tpu.parallel.ring import (  # noqa: F401
+    make_ctx_mesh,
+    ring_attention,
+    ring_attention_local,
+)
 from gavit_tpu.parallel.tp import (  # noqa: F401
     model_param_specs,
     shard_model_params,
