@@ -19,6 +19,11 @@ from gavit_tpu.parallel.pp import (  # noqa: F401
     pipeline_forward_fn,
     split_params,
 )
+from gavit_tpu.parallel.cp import (  # noqa: F401
+    ctx_forward,
+    ctx_forward_fn,
+    make_cp_mesh,
+)
 from gavit_tpu.parallel.ring import (  # noqa: F401
     make_ctx_mesh,
     ring_attention,

@@ -65,13 +65,19 @@ def make_ctx_mesh(ctx: int, data: int = 1, devices=None) -> Mesh:
     return Mesh(arr, ("data", "ctx"))
 
 
-def ring_attention_local(q, k, v, scale: float, axis_name: str):
+def ring_attention_local(q, k, v, scale: float, axis_name: str,
+                         n_valid: int | None = None):
     """One chip's ring-attention step loop — call INSIDE ``shard_map``.
 
     Args:
       q, k, v: [B, H, n_local, d] — this chip's sequence shard.
       scale: score scale (1/sqrt(d)).
       axis_name: the mesh axis the sequence is sharded over.
+      n_valid: global count of REAL tokens when the sequence was padded to
+        a multiple of the axis size (``parallel/cp.py``); keys at global
+        index ≥ n_valid are masked out of the softmax. Key ownership is
+        derived from the ring step (block t came from chip (i−t) mod S),
+        so no mask rides the ppermute. None → no masking.
     Returns:
       [B, H, n_local, d] — this chip's rows of softmax(QKᵀ·scale)V over the
       FULL sequence, exactly (online-softmax accumulation in fp32).
@@ -80,17 +86,24 @@ def ring_attention_local(q, k, v, scale: float, axis_name: str):
     prec = _prec(q.dtype)
     b, h, n, d = q.shape
     qf = q
-    m0 = jnp.full((b, h, n, 1), -jnp.inf, jnp.float32)
+    # finite lower bound (not -inf): a fully-masked block would otherwise
+    # produce (-inf) − (-inf) = nan in the rescale
+    m0 = jnp.full((b, h, n, 1), -1e30, jnp.float32)
     l0 = jnp.zeros((b, h, n, 1), jnp.float32)
     o0 = jnp.zeros((b, h, n, d), jnp.float32)
     ring = [(i, (i + 1) % S) for i in range(S)]
+    idx = lax.axis_index(axis_name)
 
-    def step(carry, _):
+    def step(carry, t):
         kb, vb, m, l, o = carry
         s = jnp.einsum(
             "bhqd,bhkd->bhqk", qf, kb,
             preferred_element_type=jnp.float32, precision=prec,
         ) * scale
+        if n_valid is not None:
+            owner = (idx - t) % S
+            key_ok = owner * n + jnp.arange(n) < n_valid
+            s = jnp.where(key_ok[None, None, None, :], s, -jnp.inf)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
@@ -103,8 +116,11 @@ def ring_attention_local(q, k, v, scale: float, axis_name: str):
         vb = lax.ppermute(vb, axis_name, ring)
         return (kb, vb, m_new, l, o), None
 
-    (_, _, _, l, o), _ = lax.scan(step, (k, v, m0, l0, o0), None, length=S)
-    return (o / l).astype(q.dtype)
+    (_, _, _, l, o), _ = lax.scan(
+        step, (k, v, m0, l0, o0), jnp.arange(S), length=S)
+    # pad-query rows (global index ≥ n_valid) have l == 0 — keep them
+    # finite; their outputs are discarded by the caller
+    return (o / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
