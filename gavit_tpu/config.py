@@ -242,6 +242,11 @@ class TrainingConfig:
     # scales with batch_size/grad_accum_steps — reference-scale global
     # batches on few chips). batch_size must be divisible by it.
     grad_accum_steps: int = 1
+    # quantisation-aware training: fake-quantise every GEMM the int8
+    # serving path quantises, against static activation scales calibrated
+    # at train start — the exported checkpoint then serves int8 with the
+    # exact quantisation noise it trained under (gavit_tpu/serving.py).
+    qat: bool = False
     criterion_lr_scale: float = 0.1  # reference trainer.py:50 (0.1 x lr)
     # torch AdamW (and the reference) decays EVERY parameter; setting this
     # False masks LayerNorm scales/biases and the cls/pos embeddings from

@@ -26,7 +26,12 @@ from gavit_tpu.ops.dropout import (
     fused_gelu_dropout,
 )
 from gavit_tpu.ops.mlp import fused_mlp
-from gavit_tpu.ops.quant import int8_matmul, static_int8_matmul
+from gavit_tpu.ops.quant import (
+    fake_quant_act,
+    fake_quant_weight,
+    int8_matmul,
+    static_int8_matmul,
+)
 from gavit_tpu.ops.attention import (
     attention_reference,
     fused_qkv_attention,
@@ -109,7 +114,32 @@ def _int8_forward(mod: nn.Module, x, kernel):
     """Static PTQ when a calibrated "quant" collection is supplied
     (pre-quantised weights + per-tensor activation scales — no per-call
     absmax passes); dynamic PTQ otherwise, sowing activation absmax for
-    calibration runs (mutable=['quant_stats'])."""
+    calibration runs (mutable=['quant_stats']).
+
+    ``quant == 'qat'`` (quantisation-aware training) fake-quantises both
+    operands — the activation against the calibrated static scale, the
+    LIVE weight against its per-column absmax — and runs the GEMM in the
+    compute dtype, so training sees exactly the quantisation noise the
+    int8 serving path will apply to the exported checkpoint. Gradients
+    flow by straight-through estimation (ops/quant.py). Without scales
+    yet (the calibration pass), it sows absmax and computes unquantised.
+    """
+    if mod.quant == "qat":
+        if mod.has_variable("quant", "act_scale"):
+            act_scale = mod.variable(
+                "quant", "act_scale", lambda: None).value
+            xq = fake_quant_act(x.astype(mod.dtype), act_scale)
+            wq = fake_quant_weight(kernel).astype(mod.dtype)
+            return jnp.dot(xq, wq, precision=mm_precision(mod.dtype))
+        mod.sow(
+            "quant_stats", "act_absmax",
+            jnp.max(jnp.abs(x.astype(jnp.float32))),
+            reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0.0),
+        )
+        return jnp.dot(
+            x.astype(mod.dtype), kernel.astype(mod.dtype),
+            precision=mm_precision(mod.dtype),
+        )
     if mod.has_variable("quant", "w_q"):
         w_q = mod.variable("quant", "w_q", lambda: None).value
         w_scale = mod.variable("quant", "w_scale", lambda: None).value

@@ -41,8 +41,9 @@ class VisionTransformer(nn.Module):
     attn_impl: str = "auto"
     graph_impl: str = "auto"
     mlp_impl: str = "auto"
-    # int8 dynamic-quantised GEMMs (serving PTQ; 2x MXU peak on v5e)
-    quant: bool = False
+    # 'int8': int8-quantised GEMMs (serving PTQ; 2x MXU peak on v5e);
+    # 'qat': fake-quantised GEMMs for quantisation-aware training
+    quant: bool | str = False
     # sequence parallelism under TP (config mesh.sp): token-shard the
     # residual stream through the elementwise segments
     sp: bool = False
@@ -154,14 +155,19 @@ class VisionTransformer(nn.Module):
 
 def build_model(cfg: ModelConfig, *, precision: str = "fp32",
                 attn_impl: str = "auto", graph_impl: str = "auto",
-                mlp_impl: str = "auto", sp: bool = False):
+                mlp_impl: str = "auto", sp: bool = False,
+                qat: bool = False):
     """precision: 'fp32' (parity eval) | 'bf16' (training/serving) |
     'int8' (PTQ serving: int8 GEMMs, bf16 elsewhere). ``sp``: sequence
-    parallelism under a >1 'model' mesh axis (config ``mesh.sp``)."""
+    parallelism under a >1 'model' mesh axis (config ``mesh.sp``).
+    ``qat``: quantisation-aware training — every GEMM the int8 serving
+    path quantises is fake-quantised against the same static scales, so
+    the trained checkpoint serves int8 with (near) zero deviation."""
     dtype = jnp.float32 if precision == "fp32" else jnp.bfloat16
+    quant = "int8" if precision == "int8" else ("qat" if qat else False)
     return VisionTransformer(
         cfg=cfg, dtype=dtype, attn_impl=attn_impl, graph_impl=graph_impl,
-        mlp_impl=mlp_impl, quant=(precision == "int8"), sp=sp,
+        mlp_impl=mlp_impl, quant=quant, sp=sp,
     )
 
 

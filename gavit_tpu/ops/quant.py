@@ -63,6 +63,66 @@ def static_int8_matmul(x, w_q, w_scale, act_scale):
     return acc.astype(jnp.float32) * (act_scale * w_scale)
 
 
+def fake_quant_act(x, act_scale):
+    """Quantise-dequantise ``x`` with a fixed per-tensor scale (QAT).
+
+    Forward is EXACTLY the value the int8 serving path reconstructs for the
+    activation operand (``quantize_activation_static`` → ·scale), so a
+    model trained through this op sees the same quantisation noise it will
+    serve under. Backward is the clipped straight-through estimator:
+    identity inside the representable range [-127·s, 127·s], zero outside
+    (the standard QAT rule — out-of-range values are saturated, so their
+    local gradient is genuinely zero).
+    """
+    return _fq_act(x, act_scale)
+
+
+@jax.custom_vjp
+def _fq_act(x, act_scale):
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / act_scale), -127, 127)
+    return (q * act_scale).astype(x.dtype)
+
+
+def _fq_act_fwd(x, act_scale):
+    in_range = jnp.abs(x.astype(jnp.float32)) <= 127.0 * act_scale
+    return _fq_act(x, act_scale), in_range
+
+
+def _fq_act_bwd(in_range, g):
+    return jnp.where(in_range, g, 0.0).astype(g.dtype), None
+
+
+_fq_act.defvjp(_fq_act_fwd, _fq_act_bwd)
+
+
+def fake_quant_weight(w):
+    """Quantise-dequantise ``w`` with per-column absmax scales (QAT).
+
+    The scale tracks the live weight every call (weights move during
+    training), exactly as the serving export (`quantize_rowwise`) will
+    quantise the final checkpoint. Absmax scaling never clips, so the
+    straight-through estimator is the plain identity.
+    """
+    return _fq_w(w)
+
+
+@jax.custom_vjp
+def _fq_w(w):
+    q, scale = quantize_rowwise(w, axis=0)
+    return (q.astype(jnp.float32) * scale).astype(w.dtype)
+
+
+def _fq_w_fwd(w):
+    return _fq_w(w), None
+
+
+def _fq_w_bwd(_, g):
+    return (g,)
+
+
+_fq_w.defvjp(_fq_w_fwd, _fq_w_bwd)
+
+
 def int8_matmul(x, w):
     """x [..., K] fp, w [K, N] fp → [..., N] fp32 via int8 MXU dots.
 

@@ -72,6 +72,54 @@ def calibrate_int8(model, params, sample_x, *, n_batches: int = 1) -> dict:
     return {"quant": build(stats, params)}
 
 
+def calibrate_act_scales(model, params, sample_x, *, n_batches: int = 1):
+    """The activation-scale half of :func:`calibrate_int8` — for QAT.
+
+    Weights keep training after calibration, so the frozen ``w_q`` the full
+    collection would carry is useless (and dangerous) there; QAT reads only
+    ``act_scale`` and fake-quantises the live weight per call. Returns
+    ``{"quant": tree}`` with act_scale leaves only.
+    """
+    full = calibrate_int8(model, params, sample_x, n_batches=n_batches)
+
+    def prune(node):
+        out = {}
+        for key, val in node.items():
+            if key == "act_scale":
+                out[key] = val
+            elif isinstance(val, dict):
+                out[key] = prune(val)
+        return out
+
+    return {"quant": prune(full["quant"])}
+
+
+def export_quant(params, act_scales: dict) -> dict:
+    """Serving "quant" collection for a (QAT-)trained checkpoint: quantise
+    the FINAL weights per column and pair them with the act scales the
+    model trained against — the int8 path then reconstructs exactly the
+    values QAT trained through (up to int32-vs-fp accumulation).
+
+    ``act_scales``: the ``{"quant": ...}`` tree from
+    :func:`calibrate_act_scales` (checkpointed by the QAT trainer).
+    """
+    from gavit_tpu.ops.quant import quantize_rowwise
+
+    def build(scale_node, params_node):
+        quant = {}
+        for key, val in scale_node.items():
+            if key == "act_scale":
+                quant["act_scale"] = val
+                w_q, w_scale = quantize_rowwise(params_node["kernel"],
+                                                axis=0)
+                quant["w_q"], quant["w_scale"] = w_q, w_scale
+            else:
+                quant[key] = build(val, params_node[key])
+        return quant
+
+    return {"quant": build(act_scales["quant"], params)}
+
+
 class Predictor:
     def __init__(
         self,
@@ -105,6 +153,7 @@ class Predictor:
         self.buckets = tuple(sorted(set(buckets)))
         self.disease_names = DISEASE_NAMES[: model_cfg.num_classes]
 
+        qat_scales = None
         if params is None:
             params = init_params(self.model, jax.random.key(0))
             if checkpoint_path:
@@ -116,6 +165,10 @@ class Predictor:
                     params,
                     state["params"]["model"],
                 )
+                if "quant" in state:
+                    # QAT checkpoint: the scales the model TRAINED against
+                    qat_scales = {"quant": jax.tree.map(
+                        jnp.asarray, state["quant"])}
         if mesh is None:
             self.params = jax.device_put(params)
             self._batch_sharding = None
@@ -136,6 +189,15 @@ class Predictor:
             self._batch_sharding = NamedSharding(mesh, P("data"))
         self._variables = {"params": self.params}
         self._is_int8 = precision == "int8"
+        if self._is_int8 and qat_scales is not None:
+            # serve under the exact noise model QAT trained through:
+            # final weights quantised per column + the trained act scales —
+            # no warmup/sample calibration needed (and none should run,
+            # fresh scales would diverge from the trained ones)
+            quant = export_quant(params, qat_scales)
+            self._variables = {"params": self.params,
+                               **jax.device_put(quant)}
+            logger.info("int8 predictor using QAT-trained scales")
 
         @jax.jit
         def predict_fn(variables, images_u8):

@@ -133,6 +133,16 @@ class Trainer:
         self.metric_calculator = MetricCalculator(train_loader.dataset.disease_names)
         self.pos_weight = jnp.asarray(train_loader.dataset.class_weights)
 
+        # quantisation-aware training: the model fake-quantises every GEMM
+        # the int8 serving path quantises, against static activation scales
+        # calibrated here from real samples on the INIT params (frozen for
+        # the run; checkpointed so resume keeps the identical noise model)
+        self._quant: dict = {}
+        if tr.qat:
+            if getattr(self.model, "quant", False) != "qat":
+                self.model = model = self.model.clone(quant="qat")
+            self._quant = self._calibrate_qat(model_params)
+
         steps_per_epoch = max(1, len(train_loader))
         self.tx = make_optimizer(config, steps_per_epoch)
         self.lr_schedule = warmup_cosine_schedule(
@@ -240,10 +250,12 @@ class Trainer:
             if isinstance(self._state_sharding, TrainState) else None
         )
 
+        quant_vars = self._quant
+
         def grad_fn(params, x, labels, k_drop):
             def loss_fn(params):
                 logits = model.apply(
-                    {"params": params["model"]},
+                    {"params": params["model"], **quant_vars},
                     x,
                     deterministic=False,
                     rngs={"dropout": k_drop},
@@ -357,12 +369,14 @@ class Trainer:
 
     def _build_eval_step(self):
         model, pos_weight = self.model, self.pos_weight
+        quant_vars = self._quant
 
         @jax.jit
         def eval_step(params, images, labels):
             x = val_preprocess(images) if images.dtype == jnp.uint8 else images
             logits = model.apply(
-                {"params": params["model"]}, x, deterministic=True
+                {"params": params["model"], **quant_vars}, x,
+                deterministic=True
             )
             # per-example losses: tail batches are wrap-padded for the mesh,
             # so the host averages over genuine rows only (this also weights
@@ -562,12 +576,44 @@ class Trainer:
     # checkpointing
     # ------------------------------------------------------------------
 
+    def _calibrate_qat(self, model_params, n: int = 8):
+        """Static activation scales from real samples on the init params.
+
+        Samples come straight from the dataset (not the loader — consuming
+        loader iterations here would disturb mid-epoch state, and datasets
+        are global so every process calibrates identical scales).
+        """
+        from gavit_tpu.serving import calibrate_act_scales
+
+        ds = self.train_loader.dataset
+        imgs = np.stack(
+            [np.asarray(ds[i][0]) for i in range(min(n, len(ds)))]
+        )
+        sample = val_preprocess(jnp.asarray(imgs, jnp.uint8))
+        quant = calibrate_act_scales(self.model, model_params, sample)
+        logger.info(
+            "QAT: calibrated %d static activation scales",
+            len(jax.tree.leaves(quant)),
+        )
+        # replicated global arrays: multi-process checkpoint saves require
+        # process-consistent non-addressable layouts (scales are identical
+        # on every process — datasets are global and calibration is
+        # deterministic)
+        return jax.jit(
+            lambda q: q, out_shardings=replicated_sharding(self.mesh)
+        )(quant)
+
     def _state_tree(self):
-        return {
+        tree = {
             "step": self.state.step,
             "params": self.state.params,
             "opt_state": self.state.opt_state,
         }
+        if self._quant:
+            # QAT: the scales are part of the training state — resume (and
+            # the int8 serving export) must see the run's exact noise model
+            tree["quant"] = self._quant["quant"]
+        return tree
 
     def save_checkpoint(self, metrics: dict, is_best: bool = False,
                         epoch_completed: bool = True):
@@ -637,6 +683,15 @@ class Trainer:
             params=state["params"],
             opt_state=state["opt_state"],
         ))
+        if "quant" in state and self._quant:
+            # QAT resume: adopt the checkpoint's calibrated scales (the
+            # jitted steps closed over the fresh-init calibration — rebuild
+            # so the run continues under the run's original noise model)
+            self._quant = {"quant": state["quant"]}
+            self._train_step = self._in_mesh(
+                self._build_train_step(self.config.data.augment_affine))
+            self._train_multi = self._in_mesh(self._train_multi)
+            self._eval_step = self._in_mesh(self._build_eval_step())
         self.current_epoch = int(
             meta.get("next_epoch", int(meta.get("epoch", 0)) + 1)
         )
