@@ -178,3 +178,68 @@ def test_qat_checkpoint_serves_int8_with_trained_scales(tmp_path):
     probs = pred.predict_proba(img)
     assert probs.shape == (2, 14)
     assert np.isfinite(probs).all()
+
+
+# ---------------------------------------------------------------------------
+# sharding compositions
+# ---------------------------------------------------------------------------
+
+
+def test_qat_forward_matches_single_device_under_tp():
+    """QAT's fake-quant GEMMs are plain dots — GSPMD-visible — so a dp×tp
+    mesh must reproduce the single-device QAT forward exactly (Megatron
+    column/row sharding around the fake-quant sites)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gavit_tpu.config import MeshConfig
+    from gavit_tpu.parallel.mesh import make_mesh
+    from gavit_tpu.parallel.tp import shard_model_params
+
+    cfg = _model_cfg()
+    qat_model = build_model(cfg, precision="fp32", qat=True,
+                            attn_impl="xla", mlp_impl="xla")
+    params = init_params(qat_model, jax.random.key(0))
+    x = jax.random.normal(jax.random.key(1), (8, 16, 16, 3), jnp.float32)
+    scales = calibrate_act_scales(qat_model, params, x)
+    ref = np.asarray(qat_model.apply(
+        {"params": params, **scales}, x, deterministic=True))
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    tp_params = shard_model_params(params, mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    @jax.jit
+    def fwd(p, x):
+        return qat_model.apply({"params": p, **scales}, x,
+                               deterministic=True)
+
+    with jax.set_mesh(mesh):
+        out = np.asarray(fwd(tp_params, xs))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_ring_attention_handles_fully_masked_shard():
+    """n_valid smaller than one shard's worth: a whole K/V block is
+    masked; the finite −1e30 accumulator init must keep the math exact
+    and NaN-free (parallel/ring.py)."""
+    from gavit_tpu.ops.attention import attention_reference
+    from gavit_tpu.parallel.ring import make_ctx_mesh, ring_attention_local
+    import functools
+    from jax.sharding import PartitionSpec as P
+
+    b, h, n, d, n_valid = 2, 2, 16, 8, 5  # shards 3..7 fully padded (nl=2)
+    ks = jax.random.split(jax.random.key(0), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, n, d), jnp.float32) for kk in ks)
+    mesh = make_ctx_mesh(8)
+    spec = P(None, None, "ctx", None)
+    out = jax.jit(jax.shard_map(
+        functools.partial(ring_attention_local, scale=0.25,
+                          axis_name="ctx", n_valid=n_valid),
+        mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+        check_vma=False,
+    ))(q, k, v)
+    ref = attention_reference(
+        q[:, :, :n_valid], k[:, :, :n_valid], v[:, :, :n_valid], 0.25)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :, :n_valid], np.asarray(ref), atol=1e-6)
+    assert np.isfinite(np.asarray(out)).all(), "pad rows went non-finite"
