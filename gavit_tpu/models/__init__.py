@@ -1,2 +1,7 @@
 from gavit_tpu.models.vit import VisionTransformer, build_model  # noqa: F401
 from gavit_tpu.models.graph import GraphBlock  # noqa: F401
+from gavit_tpu.models.tome import (  # noqa: F401
+    bipartite_merge,
+    tome_forward,
+    tome_forward_fn,
+)

@@ -130,6 +130,7 @@ class Predictor:
         buckets: tuple = DEFAULT_BUCKETS,
         params=None,
         mesh=None,
+        tome_r: int = 0,
     ):
         """``mesh`` (optional ``jax.sharding.Mesh``) serves over multiple
         chips: batches shard along 'data' (a v5e-8 cuts a full-val-set sweep
@@ -187,6 +188,13 @@ class Predictor:
                     params, NamedSharding(mesh, P())
                 )
             self._batch_sharding = NamedSharding(mesh, P("data"))
+        self._tome_r = int(tome_r)
+        if self._tome_r and precision == "int8":
+            raise ValueError(
+                "tome_r composes with bf16/fp32 serving; the int8 static "
+                "path binds per-layer quant variables the merged trunk "
+                "does not thread (pick one accelerator)"
+            )
         self._variables = {"params": self.params}
         self._is_int8 = precision == "int8"
         if self._is_int8 and qat_scales is not None:
@@ -202,7 +210,18 @@ class Predictor:
         @jax.jit
         def predict_fn(variables, images_u8):
             x = val_preprocess(images_u8)
-            logits = self.model.apply(variables, x, deterministic=True)
+            if self._tome_r:
+                # token-merging acceleration (models/tome.py): r most
+                # similar token pairs merged after every block —
+                # training-free throughput/accuracy dial
+                from gavit_tpu.models.tome import tome_forward
+
+                logits = tome_forward(
+                    model_cfg, variables["params"], x, self._tome_r,
+                    dtype=self.model.dtype,
+                )
+            else:
+                logits = self.model.apply(variables, x, deterministic=True)
             return jax.nn.sigmoid(logits.astype(jnp.float32))
 
         self._predict_fn = predict_fn

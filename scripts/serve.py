@@ -109,6 +109,11 @@ def main():
     p.add_argument("--precision", default="bf16",
                    choices=["bf16", "fp32", "int8"])
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--tome-r", type=int, default=0,
+                   help="token-merging acceleration: merge the R most "
+                        "similar token pairs after every block "
+                        "(training-free throughput/accuracy dial; "
+                        "bf16/fp32 only)")
     p.add_argument("--mesh", action="store_true",
                    help="serve over every visible chip: batches shard "
                         "along 'data' (config mesh.model > 1 additionally "
@@ -131,7 +136,8 @@ def main():
         mesh = make_mesh(config.mesh)
         logger.info(f"Serving over mesh {dict(mesh.shape)}")
     predictor = Predictor(config, args.checkpoint or None,
-                          precision=args.precision, mesh=mesh)
+                          precision=args.precision, mesh=mesh,
+                          tome_r=args.tome_r)
     if not args.no_warmup:
         predictor.warmup()
 
