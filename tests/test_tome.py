@@ -132,6 +132,34 @@ def test_learnable_task_auc_survives_merging():
         assert merged > base - 0.08, (base, merged)
 
 
+def test_predictor_tome_dp_mesh_matches_single():
+    """Token merging composes with meshed serving: the merge is pure
+    batch-dim math (argsort/take_along_axis per image), so a dp mesh shards
+    it like any other layer — probabilities identical to single-device."""
+    from gavit_tpu.config import MeshConfig
+    from gavit_tpu.parallel.mesh import make_mesh
+    from gavit_tpu.serving import Predictor
+
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 32, "patch_size": 8,
+                  "embed_dim": 32, "depth": 2, "num_heads": 2,
+                  "num_classes": 14, "drop_rate": 0.0,
+                  "graph": {"enabled": True, "num_blocks": 1,
+                            "adjacency": "knn", "k": 3, "dynamic": True}},
+        "data": {"image_size": 32},
+    })
+    single = Predictor(cfg, None, precision="fp32", buckets=(8,), tome_r=2)
+    params = jax.device_get(single.params)
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    meshed = Predictor(cfg, None, precision="fp32", buckets=(8,),
+                       params=params, mesh=mesh, tome_r=2)
+    imgs = np.random.default_rng(0).integers(0, 255, (8, 32, 32, 3),
+                                             np.uint8)
+    np.testing.assert_allclose(
+        meshed.predict_proba(imgs), single.predict_proba(imgs), atol=1e-6
+    )
+
+
 def test_predictor_tome_mode():
     from gavit_tpu.config import from_dict as cfg_from
     from gavit_tpu.serving import Predictor
