@@ -325,3 +325,115 @@ class Predictor:
             "p99_ms": float(np.percentile(arr, 99)),
             "mean_ms": float(arr.mean()),
         }
+
+
+class MicroBatcher:
+    """Cross-request micro-batching for online serving.
+
+    Concurrent requests each paying their own bucket-1 device call serialize
+    on the chip; coalescing them into one bucket-N call serves N requests for
+    ~one call's latency (the per-call cost is dispatch + HBM weight streaming,
+    nearly flat in the batch until the MXU saturates — BASELINE.md's b64
+    sweet spot). A worker thread drains a queue: a flush fires when the
+    accumulated rows reach the predictor's top bucket or the oldest request
+    has waited ``max_wait_ms`` (the latency budget a request donates to ride
+    a bigger batch; 0 still coalesces whatever arrived while the device was
+    busy — queue-depth batching with no added wait).
+
+    ``submit`` blocks the calling thread (e.g. an HTTP handler) until its
+    rows come back; a flush-wide failure propagates to exactly the waiters
+    of that flush. stdlib-threading only — no external queue service.
+    """
+
+    def __init__(self, predictor: Predictor, *, max_wait_ms: float = 2.0,
+                 max_batch: int | None = None):
+        import queue
+        import threading
+
+        self.predictor = predictor
+        self.max_wait = max_wait_ms / 1000.0
+        self.max_batch = max_batch or predictor.buckets[-1]
+        self._q: queue.Queue = queue.Queue()
+        self._batch_sizes: list[int] = []
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="microbatcher")
+        self._worker.start()
+
+    # each queue item: (images [n, S, S, 3], event, result-slot list)
+
+    def submit(self, images_u8: np.ndarray) -> np.ndarray:
+        import threading
+
+        images_u8 = np.asarray(images_u8, np.uint8)
+        if images_u8.ndim == 3:
+            images_u8 = images_u8[None]
+        done = threading.Event()
+        slot: list = [None]
+        self._q.put((images_u8, done, slot))
+        done.wait()
+        if isinstance(slot[0], Exception):
+            raise slot[0]
+        return slot[0]
+
+    def _run(self):
+        import queue
+        import time as _time
+
+        while not self._closed:
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if first is None:
+                return
+            batch = [first]
+            rows = first[0].shape[0]
+            deadline = _time.monotonic() + self.max_wait
+            while rows < self.max_batch:
+                timeout = deadline - _time.monotonic()
+                try:
+                    item = self._q.get(timeout=max(timeout, 0.0))
+                except queue.Empty:
+                    break
+                if item is None:
+                    self._closed = True
+                    break
+                batch.append(item)
+                rows += item[0].shape[0]
+            self._flush(batch)
+
+    def _flush(self, batch):
+        self._batch_sizes.append(sum(b[0].shape[0] for b in batch))
+        try:
+            probs = self.predictor.predict_proba(
+                np.concatenate([b[0] for b in batch])
+            )
+        except Exception as e:  # propagate to exactly this flush's waiters
+            for _, done, slot in batch:
+                slot[0] = e
+                done.set()
+            return
+        off = 0
+        for imgs, done, slot in batch:
+            n = imgs.shape[0]
+            slot[0] = probs[off : off + n]
+            off += n
+            done.set()
+
+    def stats(self) -> dict:
+        if not self._batch_sizes:
+            return {"flushes": 0}
+        arr = np.asarray(self._batch_sizes)
+        return {
+            "flushes": int(arr.size),
+            "rows": int(arr.sum()),
+            "mean_batch": float(arr.mean()),
+            "max_batch": int(arr.max()),
+            "coalesced_frac": float((arr > 1).mean()),
+        }
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+        self._worker.join(timeout=5)

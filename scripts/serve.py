@@ -45,7 +45,8 @@ gavit_tpu.setup_compilation_cache()
 logger = logging.getLogger("serve")
 
 
-def build_handler(predictor, image_size: int, model_desc: str):
+def build_handler(predictor, image_size: int, model_desc: str,
+                  batcher=None):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -63,7 +64,10 @@ def build_handler(predictor, image_size: int, model_desc: str):
                 self._send(200, {"status": "ok", "model": model_desc,
                                  "image_size": image_size})
             elif self.path == "/stats":
-                self._send(200, predictor.latency_stats() or {"count": 0})
+                stats = predictor.latency_stats() or {"count": 0}
+                if batcher is not None:
+                    stats["microbatch"] = batcher.stats()
+                self._send(200, stats)
             else:
                 self._send(404, {"error": "unknown path"})
 
@@ -86,8 +90,17 @@ def build_handler(predictor, image_size: int, model_desc: str):
                             img = img.resize((image_size, image_size),
                                              Image.BILINEAR)
                         arr = np.asarray(img, np.uint8)
-                probs = predictor.predict_proba(arr)
-                labels = predictor.predict_labels(arr)
+                if batcher is not None:
+                    probs = batcher.submit(arr)
+                else:
+                    probs = predictor.predict_proba(arr)
+                # labels derive from the probs already in hand (a second
+                # predict_labels() call would pay a second device pass)
+                labels = [
+                    [predictor.disease_names[i]
+                     for i in np.nonzero(row > 0.5)[0]]
+                    for row in probs
+                ]
                 self._send(200, {
                     "probabilities": probs.round(5).tolist(),
                     "labels": labels,
@@ -114,6 +127,12 @@ def main():
                         "similar token pairs after every block "
                         "(training-free throughput/accuracy dial; "
                         "bf16/fp32 only)")
+    p.add_argument("--coalesce-ms", type=float, default=None,
+                   metavar="MS",
+                   help="micro-batch concurrent requests: a request waits "
+                        "up to MS ms to ride a bigger device batch (0 = "
+                        "coalesce only what is already queued). Off when "
+                        "unset; 2-5 ms is a good online-serving setting")
     p.add_argument("--mesh", action="store_true",
                    help="serve over every visible chip: batches shard "
                         "along 'data' (config mesh.model > 1 additionally "
@@ -141,11 +160,19 @@ def main():
     if not args.no_warmup:
         predictor.warmup()
 
+    batcher = None
+    if args.coalesce_ms is not None:
+        from gavit_tpu.serving import MicroBatcher
+
+        batcher = MicroBatcher(predictor, max_wait_ms=args.coalesce_ms)
+        logger.info(f"Micro-batching: wait {args.coalesce_ms} ms, "
+                    f"max batch {batcher.max_batch}")
+
     desc = f"{config.model.name}+graph{config.model.graph.num_blocks}" if (
         config.model.graph.enabled) else config.model.name
     server = ThreadingHTTPServer(
         (args.host, args.port),
-        build_handler(predictor, config.data.image_size, desc),
+        build_handler(predictor, config.data.image_size, desc, batcher),
     )
     logger.info(f"Serving {desc} on http://{args.host}:{args.port}")
     try:

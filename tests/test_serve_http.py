@@ -88,3 +88,52 @@ def test_unknown_path_404(server):
 def test_stats_after_traffic(server):
     r = _get(server + "/stats")
     assert r.get("count", 0) >= 1
+
+
+def test_coalesced_server_concurrent_posts():
+    """--coalesce-ms path: concurrent requests are answered correctly and
+    /stats exposes the microbatch block."""
+    from gavit_tpu.serving import MicroBatcher
+
+    cfg = from_dict({"model": {
+        "name": "custom", "img_size": 16, "patch_size": 8, "embed_dim": 32,
+        "depth": 1, "num_heads": 2, "num_classes": 14,
+    }, "data": {"image_size": 16}})
+    predictor = Predictor(cfg, buckets=(1, 8))
+    predictor.warmup()
+    batcher = MicroBatcher(predictor, max_wait_ms=100.0)
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        build_handler(predictor, 16, "test-model", batcher),
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        rng = np.random.default_rng(3)
+        imgs = rng.integers(0, 255, (4, 16, 16, 3), np.uint8)
+        ref = predictor.predict_proba(imgs)
+
+        results = [None] * 4
+
+        def post_one(i):
+            arr = imgs[i].tolist()
+            results[i] = _post(url + "/predict",
+                               json.dumps(arr).encode(),
+                               "application/json")
+
+        threads = [threading.Thread(target=post_one, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i in range(4):
+            np.testing.assert_allclose(
+                np.asarray(results[i]["probabilities"][0]), ref[i],
+                atol=1e-4)  # response rounds to 5 decimals
+        stats = _get(url + "/stats")
+        assert stats["microbatch"]["rows"] == 4
+    finally:
+        srv.shutdown()
+        batcher.close()

@@ -182,3 +182,88 @@ def test_meshed_tp_int8_serving_matches_single_device():
     pm.calibrate(imgs)
     out = pm.predict_proba(imgs)
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_microbatcher_coalesces_concurrent_requests():
+    """N concurrent single-image submits ride fewer device calls than N,
+    and every caller gets exactly the rows a direct predict returns."""
+    import threading
+
+    from gavit_tpu.serving import MicroBatcher
+
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 1, "num_heads": 2,
+                  "num_classes": 14},
+        "data": {"image_size": 16},
+    })
+    pred = Predictor(cfg, buckets=(1, 8))
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (8, 16, 16, 3), np.uint8)
+    ref = pred.predict_proba(imgs)
+    pred.warmup()  # compiled shapes so flushes are fast vs the wait window
+
+    calls = []
+    orig = pred.predict_proba
+    pred.predict_proba = lambda x: (calls.append(len(x)), orig(x))[1]
+
+    batcher = MicroBatcher(pred, max_wait_ms=500.0)
+    try:
+        outs = [None] * 8
+
+        def worker(i):
+            outs[i] = batcher.submit(imgs[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i in range(8):
+            np.testing.assert_allclose(outs[i][0], ref[i], atol=1e-6)
+        stats = batcher.stats()
+        assert stats["rows"] == 8
+        assert stats["flushes"] < 8, stats  # coalescing actually happened
+        assert stats["flushes"] == len(calls)
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_propagates_flush_errors():
+    from gavit_tpu.serving import MicroBatcher
+
+    class Boom:
+        buckets = (4,)
+
+        def predict_proba(self, x):
+            raise RuntimeError("device on fire")
+
+    batcher = MicroBatcher(Boom(), max_wait_ms=0.0)
+    try:
+        with np.testing.assert_raises(RuntimeError):
+            batcher.submit(np.zeros((1, 16, 16, 3), np.uint8))
+    finally:
+        batcher.close()
+
+
+def test_microbatcher_zero_wait_still_serves():
+    """max_wait_ms=0: no added latency, each request still answered."""
+    from gavit_tpu.serving import MicroBatcher
+
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 1, "num_heads": 2,
+                  "num_classes": 14},
+        "data": {"image_size": 16},
+    })
+    pred = Predictor(cfg, buckets=(1, 4))
+    imgs = np.random.default_rng(1).integers(0, 255, (2, 16, 16, 3),
+                                             np.uint8)
+    ref = pred.predict_proba(imgs)
+    batcher = MicroBatcher(pred, max_wait_ms=0.0)
+    try:
+        out = batcher.submit(imgs)
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+    finally:
+        batcher.close()
