@@ -327,6 +327,124 @@ class Predictor:
         }
 
 
+def export_serving(config: Config, out_dir: str, *,
+                   checkpoint_path: str | None = None, params=None,
+                   precision: str = "bf16", buckets: tuple = DEFAULT_BUCKETS,
+                   tome_r: int = 0, platforms=None) -> dict:
+    """Write a self-contained serving artifact: serialized StableHLO programs
+    (one per batch bucket, via ``jax.export``) + a weights file + manifest.
+
+    The artifact replays WITHOUT this package's model code — deployment
+    needs only the jax runtime (:class:`ExportedPredictor`, ~40 lines, or
+    any StableHLO consumer). The program is the full serve path (uint8 →
+    fused preprocess → model → sigmoid), so the deployed graph is
+    byte-identical to what `Predictor` runs; weights stay OUTSIDE the
+    program (passed as arguments) so one multi-GB blob isn't re-serialized
+    per bucket and checkpoints remain swappable.
+
+    ``platforms``: e.g. ``("tpu", "cpu")`` cross-lowers for serving
+    hardware other than the exporting host's (StableHLO is
+    platform-checked at load). Default: the current backend.
+    Returns the manifest dict.
+    """
+    import os
+
+    from jax import export as jexport
+
+    pred = Predictor(config, checkpoint_path, precision=precision,
+                     buckets=buckets, params=params, tome_r=tome_r)
+    os.makedirs(out_dir, exist_ok=True)
+    s = config.data.image_size
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    flat, treedef = jax.tree.flatten(pred._variables)
+
+    # flat-leaf signature: the artifact consumer never needs the pytree
+    # structure (treedefs don't serialize portably) — weights are positional
+    @jax.jit
+    def flat_fn(*args):
+        *leaves, images = args
+        return pred._predict_fn(jax.tree.unflatten(treedef, leaves), images)
+
+    w_structs = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in flat]
+    for b in pred.buckets:
+        exp = jexport.export(flat_fn, **kw)(
+            *w_structs, jax.ShapeDtypeStruct((b, s, s, 3), jnp.uint8)
+        )
+        with open(os.path.join(out_dir, f"predict_b{b}.shlo"), "wb") as f:
+            f.write(exp.serialize())
+    np.savez(os.path.join(out_dir, "weights.npz"),
+             **{str(i): np.asarray(v) for i, v in enumerate(flat)})
+    import json as _json
+
+    manifest = {
+        "format": "gavit_tpu.serving_export.v1",
+        "model": config.model.name,
+        "image_size": s,
+        "num_classes": config.model.num_classes,
+        "disease_names": list(pred.disease_names),
+        "buckets": list(pred.buckets),
+        "precision": precision,
+        "tome_r": tome_r,
+        "platforms": list(platforms) if platforms else [jax.default_backend()],
+        "jax_version": jax.__version__,
+        "treedef": str(treedef),
+        "n_weights": len(flat),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=2)
+    return manifest
+
+
+class ExportedPredictor:
+    """Serve from an :func:`export_serving` artifact — no model code.
+
+    Loads the per-bucket StableHLO programs + weights and exposes the same
+    ``predict_proba`` contract as :class:`Predictor` (pad to bucket, chunk
+    past the top bucket). Programs take the weights as positional flat
+    leaves (the npz's integer keys, in order) followed by the uint8 batch.
+    """
+
+    def __init__(self, artifact_dir: str):
+        import json as _json
+        import os
+
+        from jax import export as jexport
+
+        with open(os.path.join(artifact_dir, "manifest.json")) as f:
+            self.manifest = _json.load(f)
+        self.image_size = self.manifest["image_size"]
+        self.buckets = tuple(self.manifest["buckets"])
+        self.disease_names = self.manifest["disease_names"]
+        z = np.load(os.path.join(artifact_dir, "weights.npz"))
+        self._weights = [
+            jax.device_put(z[str(i)])
+            for i in range(self.manifest["n_weights"])
+        ]
+        self._fns = {}
+        for b in self.buckets:
+            with open(os.path.join(artifact_dir, f"predict_b{b}.shlo"),
+                      "rb") as f:
+                self._fns[b] = jexport.deserialize(f.read())
+
+    def predict_proba(self, images_u8: np.ndarray) -> np.ndarray:
+        images_u8 = np.asarray(images_u8, np.uint8)
+        if images_u8.ndim == 3:
+            images_u8 = images_u8[None]
+        n, top = images_u8.shape[0], self.buckets[-1]
+        outs = []
+        for start in range(0, n, top):
+            chunk = images_u8[start : start + top]
+            m = chunk.shape[0]
+            b = next((bb for bb in self.buckets if m <= bb), top)
+            if m < b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((b - m,) + chunk.shape[1:], np.uint8)]
+                )
+            probs = self._fns[b].call(*self._weights, jnp.asarray(chunk))
+            outs.append(np.asarray(probs)[:m])
+        return np.concatenate(outs)
+
+
 class MicroBatcher:
     """Cross-request micro-batching for online serving.
 

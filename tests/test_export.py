@@ -1,0 +1,91 @@
+"""Serving-artifact export (jax.export StableHLO): round-trip parity with
+the live Predictor, manifest contract, bucket padding/chunking, CLI."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from gavit_tpu.config import from_dict
+from gavit_tpu.serving import ExportedPredictor, Predictor, export_serving
+
+CFG = {
+    "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+              "embed_dim": 32, "depth": 1, "num_heads": 2,
+              "num_classes": 14,
+              "graph": {"enabled": True, "num_blocks": 1,
+                        "adjacency": "knn", "k": 2, "dynamic": True}},
+    "data": {"image_size": 16},
+}
+
+
+def test_export_roundtrip_matches_predictor(tmp_path):
+    import jax
+
+    cfg = from_dict(CFG)
+    pred = Predictor(cfg, None, precision="fp32", buckets=(2, 4))
+    params = jax.device_get(pred.params)
+    manifest = export_serving(cfg, str(tmp_path / "art"), params=params,
+                              precision="fp32", buckets=(2, 4))
+    assert manifest["buckets"] == [2, 4]
+    assert (tmp_path / "art" / "predict_b2.shlo").exists()
+    assert (tmp_path / "art" / "predict_b4.shlo").exists()
+    assert (tmp_path / "art" / "weights.npz").exists()
+
+    loaded = ExportedPredictor(str(tmp_path / "art"))
+    rng = np.random.default_rng(0)
+    # 3 images: pads to bucket 4; 9 images: chunks past the top bucket
+    for n in (3, 9):
+        imgs = rng.integers(0, 255, (n, 16, 16, 3), np.uint8)
+        np.testing.assert_allclose(
+            loaded.predict_proba(imgs), pred.predict_proba(imgs), atol=1e-6
+        )
+    assert loaded.disease_names == pred.disease_names
+
+
+def test_export_with_tome(tmp_path):
+    import jax
+
+    cfg = from_dict(CFG)
+    pred = Predictor(cfg, None, precision="fp32", buckets=(4,), tome_r=1)
+    params = jax.device_get(pred.params)
+    export_serving(cfg, str(tmp_path / "art"), params=params,
+                   precision="fp32", buckets=(4,), tome_r=1)
+    loaded = ExportedPredictor(str(tmp_path / "art"))
+    imgs = np.random.default_rng(1).integers(0, 255, (4, 16, 16, 3),
+                                             np.uint8)
+    np.testing.assert_allclose(
+        loaded.predict_proba(imgs), pred.predict_proba(imgs), atol=1e-6
+    )
+
+
+def test_export_cli(tmp_path):
+    import yaml
+
+    cfg_path = tmp_path / "tiny.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(CFG, f)
+    out = tmp_path / "artifact"
+    env = dict(os.environ, GAVIT_PLATFORM="cpu",
+               PYTHONPATH=os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        [sys.executable, "scripts/export_serving.py",
+         "--config", str(cfg_path), "--out", str(out),
+         "--precision", "fp32", "--buckets", "2"],
+        cwd=str(Path(__file__).resolve().parent.parent),
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(out / "manifest.json") as f:
+        manifest = json.load(f)
+    assert manifest["format"] == "gavit_tpu.serving_export.v1"
+    assert manifest["image_size"] == 16
+    loaded = ExportedPredictor(str(out))
+    probs = loaded.predict_proba(np.zeros((2, 16, 16, 3), np.uint8))
+    assert probs.shape == (2, 14) and np.isfinite(probs).all()
