@@ -92,12 +92,20 @@ def bipartite_merge(x, sizes, r: int, prec=None):
 
 def tome_forward(cfg: ModelConfig, params, images, r: int,
                  dtype=jnp.float32, attn_impl: str = "auto",
-                 graph_impl: str = "auto", mlp_impl: str = "auto"):
+                 graph_impl: str = "auto", mlp_impl: str = "auto",
+                 quant=None):
     """Deterministic forward with ``r`` tokens merged after every block.
 
     Reuses the trained param tree and the production Block/GraphBlock
     modules verbatim (same kernels); only the between-block merge is new.
     Returns fp32 logits.
+
+    ``quant``: a calibrated static-int8 "quant" collection
+    (``serving.calibrate_int8``/``export_quant``), threaded per submodule —
+    the +32% int8 serving win composes with the token reduction. Per-tensor
+    activation scales are token-count invariant and merged tokens are
+    size-weighted averages of calibrated ones, so the calibration measured
+    on the unmerged forward stays valid.
     """
     if cfg.graph.enabled and not cfg.graph.dynamic:
         raise ValueError(
@@ -108,11 +116,19 @@ def tome_forward(cfg: ModelConfig, params, images, r: int,
     from gavit_tpu.models.layers import LN_EPS, Block, PatchEmbed, QDense
     from gavit_tpu.models.graph import GraphBlock
 
+    q = "int8" if quant is not None else False
+
+    def variables(name):
+        v = {"params": params[name]}
+        if quant is not None:
+            v["quant"] = quant[name]
+        return v
+
     b = images.shape[0]
     d = cfg.embed_dim
     x = PatchEmbed(
-        patch_size=cfg.patch_size, embed_dim=d, dtype=dtype,
-    ).apply({"params": params["patch_embed"]}, images.astype(dtype))
+        patch_size=cfg.patch_size, embed_dim=d, dtype=dtype, quant=q,
+    ).apply(variables("patch_embed"), images.astype(dtype))
     n = x.shape[1]
     cls = jnp.broadcast_to(params["cls_token"].astype(dtype), (b, 1, d))
     x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"].astype(dtype)
@@ -124,21 +140,21 @@ def tome_forward(cfg: ModelConfig, params, images, r: int,
         x = Block(
             dim=d, num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
             qkv_bias=cfg.qkv_bias, dtype=dtype, attn_impl=attn_impl,
-            mlp_impl=mlp_impl,
-        ).apply({"params": params[f"blocks_{i}"]}, x, True)
+            mlp_impl=mlp_impl, quant=q,
+        ).apply(variables(f"blocks_{i}"), x, True)
         x, sizes = bipartite_merge(x, sizes, r)
         if i in graph_sites:
             x, _ = GraphBlock(
                 dim=d, cfg=cfg.graph, num_patches=n, drop=0.0,
-                dtype=dtype, impl=graph_impl,
-            ).apply({"params": params[f"graph_{g_idx}"]}, x, adj=None,
+                dtype=dtype, impl=graph_impl, quant=q,
+            ).apply(variables(f"graph_{g_idx}"), x, adj=None,
                     deterministic=True)
             g_idx += 1
 
     x = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype).apply(
         {"params": params["norm"]}, x)
-    logits = QDense(cfg.num_classes, dtype=dtype).apply(
-        {"params": params["head"]}, x[:, 0].astype(dtype))
+    logits = QDense(cfg.num_classes, dtype=dtype, quant=q).apply(
+        variables("head"), x[:, 0].astype(dtype))
     return logits.astype(jnp.float32)
 
 

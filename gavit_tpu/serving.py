@@ -189,12 +189,6 @@ class Predictor:
                 )
             self._batch_sharding = NamedSharding(mesh, P("data"))
         self._tome_r = int(tome_r)
-        if self._tome_r and precision == "int8":
-            raise ValueError(
-                "tome_r composes with bf16/fp32 serving; the int8 static "
-                "path binds per-layer quant variables the merged trunk "
-                "does not thread (pick one accelerator)"
-            )
         self._variables = {"params": self.params}
         self._is_int8 = precision == "int8"
         if self._is_int8 and qat_scales is not None:
@@ -213,12 +207,14 @@ class Predictor:
             if self._tome_r:
                 # token-merging acceleration (models/tome.py): r most
                 # similar token pairs merged after every block —
-                # training-free throughput/accuracy dial
+                # training-free throughput/accuracy dial; composes with
+                # static-int8 (the quant collection threads per block)
                 from gavit_tpu.models.tome import tome_forward
 
                 logits = tome_forward(
                     model_cfg, variables["params"], x, self._tome_r,
                     dtype=self.model.dtype,
+                    quant=variables.get("quant"),
                 )
             else:
                 logits = self.model.apply(variables, x, deterministic=True)
@@ -228,6 +224,12 @@ class Predictor:
         self._latencies_ms: list[float] = []
 
     def _predict(self, _params_ignored, images_u8):
+        if self._is_int8 and self._tome_r and "quant" not in self._variables:
+            raise RuntimeError(
+                "int8 + tome_r serves static scales only: call calibrate() "
+                "or warmup() before predicting (the merged trunk has no "
+                "dynamic-PTQ calibration pass)"
+            )
         if self.mesh is None:
             return self._predict_fn(self._variables, images_u8)
         # shard the batch over 'data'; under a >1 'model' axis the mesh

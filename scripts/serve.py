@@ -126,7 +126,7 @@ def main():
                    help="token-merging acceleration: merge the R most "
                         "similar token pairs after every block "
                         "(training-free throughput/accuracy dial; "
-                        "bf16/fp32 only)")
+                        "composes with --precision int8)")
     p.add_argument("--coalesce-ms", type=float, default=None,
                    metavar="MS",
                    help="micro-batch concurrent requests: a request waits "

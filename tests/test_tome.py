@@ -175,5 +175,48 @@ def test_predictor_tome_mode():
     pred = Predictor(cfg, None, precision="fp32", buckets=(4,), tome_r=2)
     probs = pred.predict_proba(np.zeros((3, 32, 32, 3), np.uint8))
     assert probs.shape == (3, 14) and np.isfinite(probs).all()
-    with pytest.raises(ValueError, match="tome_r"):
-        Predictor(cfg, None, precision="int8", buckets=(4,), tome_r=2)
+
+
+def test_tome_int8_composition():
+    """Static-int8 serving composes with token merging: the quant
+    collection threads per block through the merged trunk. At r=0 the
+    tome int8 path reproduces the int8 model.apply exactly (same static
+    quant math); at r>0 it stays a bounded perturbation of fp32; before
+    calibration it refuses loudly (no dynamic-PTQ pass in the merged
+    trunk)."""
+    from gavit_tpu.config import from_dict as cfg_from
+    from gavit_tpu.serving import Predictor
+
+    cfg = cfg_from({
+        "model": {"name": "custom", "img_size": 32, "patch_size": 8,
+                  "embed_dim": 32, "depth": 2, "num_heads": 2,
+                  "num_classes": 14, "drop_rate": 0.0,
+                  "graph": {"enabled": True, "num_blocks": 1,
+                            "adjacency": "knn", "k": 3, "dynamic": True}},
+        "data": {"image_size": 32},
+    })
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (4, 32, 32, 3), np.uint8)
+
+    uncal = Predictor(cfg, None, precision="int8", buckets=(4,), tome_r=2)
+    with pytest.raises(RuntimeError, match="calibrate"):
+        uncal.predict_proba(imgs)
+
+    p_int8 = Predictor(cfg, None, precision="int8", buckets=(4,))
+    p_int8.calibrate(imgs)
+    ref_int8 = p_int8.predict_proba(imgs)
+
+    params = jax.device_get(p_int8.params)
+    t0 = Predictor(cfg, None, precision="int8", buckets=(4,),
+                   params=params, tome_r=0)
+    t0._variables = p_int8._variables  # same calibrated scales
+    np.testing.assert_allclose(t0.predict_proba(imgs), ref_int8, atol=1e-6)
+
+    t2 = Predictor(cfg, None, precision="int8", buckets=(4,),
+                   params=params, tome_r=2)
+    t2._variables = p_int8._variables
+    out = t2.predict_proba(imgs)
+    fp = Predictor(cfg, None, precision="fp32", buckets=(4,),
+                   params=params, tome_r=2).predict_proba(imgs)
+    assert np.isfinite(out).all()
+    assert np.abs(out - fp).max() < 0.2  # quantisation noise, not garbage

@@ -91,14 +91,35 @@ def main():
             fwd(params, val_preprocess(u))))
         ips, p = bench(fn, f"tome r={r}")
         dev = float(np.abs(p - p_base).max())
-        n_final = 197 - 12 * min(r, 98 - 1)
         print(f"tome r={r}: {ips:.0f} img/s ({ips / ips0:.2f}x), "
-              f"final tokens {n_final}, max prob dev {dev:.4f}", flush=True)
+              f"max prob dev {dev:.4f}", flush=True)
         results.append((f"r={r}", ips, dev))
 
-    print("\nsummary (img/s @ b64, vs apply, max prob dev):", flush=True)
+    # ---- static-int8 x tome composition ---------------------------------
+    from gavit_tpu.models.tome import tome_forward
+    from gavit_tpu.serving import calibrate_int8
+
+    qmodel = build_model(cfg.model, precision="int8")
+    quant = jax.device_put(
+        calibrate_int8(qmodel, params, val_preprocess(u8[:8])))
+    variables = {"params": params, **quant}
+    int8_fn = jax.jit(lambda v, u: jax.nn.sigmoid(
+        qmodel.apply(v, val_preprocess(u), deterministic=True)))
+    ips_q0, p_q = bench(lambda u: int8_fn(variables, u), "int8 apply")
+    results.append(("int8", ips_q0, float(np.abs(p_q - p_base).max())))
+    for r in (8, 16):
+        fn = jax.jit(lambda u, r=r: jax.nn.sigmoid(tome_forward(
+            cfg.model, params, val_preprocess(u), r, dtype=jnp.bfloat16,
+            quant=quant["quant"])))
+        ips, p = bench(fn, f"int8+tome r={r}")
+        dev = float(np.abs(p - p_base).max())
+        print(f"int8+tome r={r}: {ips:.0f} img/s ({ips / ips0:.2f}x), "
+              f"max prob dev {dev:.4f}", flush=True)
+        results.append((f"i8r={r}", ips, dev))
+
+    print("\nsummary (img/s @ b64, vs bf16 apply, max prob dev):", flush=True)
     for label, ips, dev in results:
-        print(f"  {label:>6}: {ips:7.0f}  {ips / ips0:5.2f}x  dev {dev:.4f}",
+        print(f"  {label:>7}: {ips:7.0f}  {ips / ips0:5.2f}x  dev {dev:.4f}",
               flush=True)
 
 
