@@ -332,7 +332,8 @@ class Predictor:
 def export_serving(config: Config, out_dir: str, *,
                    checkpoint_path: str | None = None, params=None,
                    precision: str = "bf16", buckets: tuple = DEFAULT_BUCKETS,
-                   tome_r: int = 0, platforms=None) -> dict:
+                   tome_r: int = 0, platforms=None,
+                   calibration_images=None) -> dict:
     """Write a self-contained serving artifact: serialized StableHLO programs
     (one per batch bucket, via ``jax.export``) + a weights file + manifest.
 
@@ -347,7 +348,12 @@ def export_serving(config: Config, out_dir: str, *,
     ``platforms``: e.g. ``("tpu", "cpu")`` cross-lowers for serving
     hardware other than the exporting host's (StableHLO is
     platform-checked at load). Default: the current backend.
-    Returns the manifest dict.
+
+    ``precision='int8'`` bakes the static-PTQ program: pre-quantised
+    weights + activation scales calibrated on ``calibration_images``
+    (uint8 [N, S, S, 3]; REQUIRED unless the checkpoint carries
+    QAT-trained scales — noise calibration would ship garbage scales in a
+    deployment artifact). Returns the manifest dict.
     """
     import os
 
@@ -355,6 +361,13 @@ def export_serving(config: Config, out_dir: str, *,
 
     pred = Predictor(config, checkpoint_path, precision=precision,
                      buckets=buckets, params=params, tome_r=tome_r)
+    if precision == "int8" and "quant" not in pred._variables:
+        if calibration_images is None:
+            raise ValueError(
+                "int8 export needs calibration_images (or a QAT "
+                "checkpoint whose trained scales ride along)"
+            )
+        pred.calibrate(np.asarray(calibration_images, np.uint8))
     os.makedirs(out_dir, exist_ok=True)
     s = config.data.image_size
     kw = {"platforms": tuple(platforms)} if platforms else {}

@@ -32,7 +32,12 @@ def main():
     p.add_argument("--config", required=True)
     p.add_argument("--checkpoint", default="")
     p.add_argument("--out", required=True)
-    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--precision", default="bf16",
+                   choices=["bf16", "fp32", "int8"])
+    p.add_argument("--calib", default="",
+                   help="int8: .npy of uint8 calibration images "
+                        "[N, S, S, 3] (unneeded for QAT checkpoints — "
+                        "their trained scales ride along)")
     p.add_argument("--tome-r", type=int, default=0)
     p.add_argument("--buckets", default="1,8,32,128",
                    help="comma-separated batch buckets to compile/export")
@@ -48,6 +53,11 @@ def main():
     from gavit_tpu.serving import export_serving
 
     config = load_config(args.config, args.overrides)
+    calib = None
+    if args.calib:
+        import numpy as np
+
+        calib = np.load(args.calib)
     manifest = export_serving(
         config, args.out,
         checkpoint_path=args.checkpoint or None,
@@ -56,6 +66,7 @@ def main():
         tome_r=args.tome_r,
         platforms=([s.strip() for s in args.platforms.split(",")]
                    if args.platforms else None),
+        calibration_images=calib,
     )
     logging.info("Exported %s (buckets %s, platforms %s) -> %s",
                  manifest["model"], manifest["buckets"],

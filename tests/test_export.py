@@ -89,3 +89,30 @@ def test_export_cli(tmp_path):
     loaded = ExportedPredictor(str(out))
     probs = loaded.predict_proba(np.zeros((2, 16, 16, 3), np.uint8))
     assert probs.shape == (2, 14) and np.isfinite(probs).all()
+
+
+def test_export_int8_roundtrip(tmp_path):
+    """int8 export bakes the static-PTQ program (pre-quantised weights +
+    calibrated act scales); the artifact reproduces the live int8
+    predictor exactly, and export refuses without calibration images."""
+    import jax
+
+    cfg = from_dict(CFG)
+    rng = np.random.default_rng(2)
+    calib = rng.integers(0, 255, (8, 16, 16, 3), np.uint8)
+
+    pred = Predictor(cfg, None, precision="int8", buckets=(4,))
+    pred.calibrate(calib)
+    params = jax.device_get(pred.params)
+
+    with pytest.raises(ValueError, match="calibration"):
+        export_serving(cfg, str(tmp_path / "bad"), params=params,
+                       precision="int8", buckets=(4,))
+
+    export_serving(cfg, str(tmp_path / "art"), params=params,
+                   precision="int8", buckets=(4,), calibration_images=calib)
+    loaded = ExportedPredictor(str(tmp_path / "art"))
+    imgs = rng.integers(0, 255, (4, 16, 16, 3), np.uint8)
+    np.testing.assert_allclose(
+        loaded.predict_proba(imgs), pred.predict_proba(imgs), atol=1e-6
+    )
