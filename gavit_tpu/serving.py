@@ -440,8 +440,12 @@ class ExportedPredictor:
             with open(os.path.join(artifact_dir, f"predict_b{b}.shlo"),
                       "rb") as f:
                 self._fns[b] = jexport.deserialize(f.read())
+        self._latencies_ms: list[float] = []
+
+    latency_stats = Predictor.latency_stats
 
     def predict_proba(self, images_u8: np.ndarray) -> np.ndarray:
+        t0 = time.perf_counter()
         images_u8 = np.asarray(images_u8, np.uint8)
         if images_u8.ndim == 3:
             images_u8 = images_u8[None]
@@ -457,6 +461,7 @@ class ExportedPredictor:
                 )
             probs = self._fns[b].call(*self._weights, jnp.asarray(chunk))
             outs.append(np.asarray(probs)[:m])
+        self._latencies_ms.append((time.perf_counter() - t0) * 1000)
         return np.concatenate(outs)
 
 

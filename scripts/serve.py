@@ -115,7 +115,11 @@ def build_handler(predictor, image_size: int, model_desc: str,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--config", required=True)
+    p.add_argument("--config", default="")
+    p.add_argument("--artifact", default="",
+                   help="serve from an export_serving artifact directory "
+                        "(StableHLO + weights; no model code / --config "
+                        "needed)")
     p.add_argument("--checkpoint", default="")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8476)
@@ -144,21 +148,36 @@ def main():
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO)
-    from gavit_tpu.config import load_config
-    from gavit_tpu.serving import Predictor
+    if bool(args.artifact) == bool(args.config):
+        p.error("exactly one of --config or --artifact is required")
 
-    config = load_config(args.config, args.overrides)
-    mesh = None
-    if args.mesh:
-        from gavit_tpu.parallel.mesh import make_mesh
+    if args.artifact:
+        # export_serving artifact: StableHLO programs + weights — no model
+        # code, no warmup needed (shapes pre-compiled at export)
+        from gavit_tpu.serving import ExportedPredictor
 
-        mesh = make_mesh(config.mesh)
-        logger.info(f"Serving over mesh {dict(mesh.shape)}")
-    predictor = Predictor(config, args.checkpoint or None,
-                          precision=args.precision, mesh=mesh,
-                          tome_r=args.tome_r)
-    if not args.no_warmup:
-        predictor.warmup()
+        predictor = ExportedPredictor(args.artifact)
+        image_size = predictor.image_size
+        desc = f"{predictor.manifest['model']} (exported artifact)"
+    else:
+        from gavit_tpu.config import load_config
+        from gavit_tpu.serving import Predictor
+
+        config = load_config(args.config, args.overrides)
+        image_size = config.data.image_size
+        mesh = None
+        if args.mesh:
+            from gavit_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(config.mesh)
+            logger.info(f"Serving over mesh {dict(mesh.shape)}")
+        predictor = Predictor(config, args.checkpoint or None,
+                              precision=args.precision, mesh=mesh,
+                              tome_r=args.tome_r)
+        if not args.no_warmup:
+            predictor.warmup()
+        desc = (f"{config.model.name}+graph{config.model.graph.num_blocks}"
+                if config.model.graph.enabled else config.model.name)
 
     batcher = None
     if args.coalesce_ms is not None:
@@ -168,11 +187,9 @@ def main():
         logger.info(f"Micro-batching: wait {args.coalesce_ms} ms, "
                     f"max batch {batcher.max_batch}")
 
-    desc = f"{config.model.name}+graph{config.model.graph.num_blocks}" if (
-        config.model.graph.enabled) else config.model.name
     server = ThreadingHTTPServer(
         (args.host, args.port),
-        build_handler(predictor, config.data.image_size, desc, batcher),
+        build_handler(predictor, image_size, desc, batcher),
     )
     logger.info(f"Serving {desc} on http://{args.host}:{args.port}")
     try:

@@ -116,3 +116,41 @@ def test_export_int8_roundtrip(tmp_path):
     np.testing.assert_allclose(
         loaded.predict_proba(imgs), pred.predict_proba(imgs), atol=1e-6
     )
+
+
+def test_serve_from_artifact_http(tmp_path):
+    """serve.py --artifact: HTTP serving straight from the exported
+    StableHLO + weights (no config / model code), incl. /stats latency."""
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import jax
+
+    from scripts.serve import build_handler
+
+    cfg = from_dict(CFG)
+    pred = Predictor(cfg, None, precision="fp32", buckets=(2,))
+    params = jax.device_get(pred.params)
+    export_serving(cfg, str(tmp_path / "art"), params=params,
+                   precision="fp32", buckets=(2,))
+    loaded = ExportedPredictor(str(tmp_path / "art"))
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), build_handler(loaded, 16, "artifact"))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        arr = np.random.default_rng(0).integers(0, 255, (2, 16, 16, 3))
+        req = urllib.request.Request(
+            url + "/predict", data=_json.dumps(arr.tolist()).encode(),
+            headers={"Content-Type": "application/json"})
+        r = _json.loads(urllib.request.urlopen(req, timeout=300).read())
+        np.testing.assert_allclose(
+            np.asarray(r["probabilities"]),
+            pred.predict_proba(arr.astype(np.uint8)), atol=1e-4)
+        stats = _json.loads(
+            urllib.request.urlopen(url + "/stats", timeout=60).read())
+        assert stats["count"] >= 1
+    finally:
+        srv.shutdown()
