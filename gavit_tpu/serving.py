@@ -389,6 +389,9 @@ def export_serving(config: Config, out_dir: str, *,
             f.write(exp.serialize())
     np.savez(os.path.join(out_dir, "weights.npz"),
              **{str(i): np.asarray(v) for i, v in enumerate(flat)})
+    # np.load round-trips extension dtypes (bf16) as void — record the true
+    # leaf dtypes so the loader can view them back
+    leaf_dtypes = [str(np.asarray(v).dtype) for v in flat]
     import json as _json
 
     manifest = {
@@ -404,6 +407,7 @@ def export_serving(config: Config, out_dir: str, *,
         "jax_version": jax.__version__,
         "treedef": str(treedef),
         "n_weights": len(flat),
+        "leaf_dtypes": leaf_dtypes,
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         _json.dump(manifest, f, indent=2)
@@ -431,10 +435,14 @@ class ExportedPredictor:
         self.buckets = tuple(self.manifest["buckets"])
         self.disease_names = self.manifest["disease_names"]
         z = np.load(os.path.join(artifact_dir, "weights.npz"))
-        self._weights = [
-            jax.device_put(z[str(i)])
-            for i in range(self.manifest["n_weights"])
-        ]
+        dtypes = self.manifest.get("leaf_dtypes")
+        self._weights = []
+        for i in range(self.manifest["n_weights"]):
+            arr = z[str(i)]
+            if dtypes and arr.dtype.str != np.dtype(dtypes[i]).str:
+                # extension dtypes (bf16) load back as void — re-view
+                arr = arr.view(np.dtype(dtypes[i]))
+            self._weights.append(jax.device_put(arr))
         self._fns = {}
         for b in self.buckets:
             with open(os.path.join(artifact_dir, f"predict_b{b}.shlo"),

@@ -154,3 +154,26 @@ def test_serve_from_artifact_http(tmp_path):
         assert stats["count"] >= 1
     finally:
         srv.shutdown()
+
+
+def test_export_bf16_leaves_roundtrip(tmp_path):
+    """np.load returns extension dtypes (bf16) as void — the manifest's
+    leaf_dtypes restores them, so a bf16-weight artifact replays."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = from_dict(CFG)
+    pred = Predictor(cfg, None, precision="bf16", buckets=(2,))
+    params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16),
+                          jax.device_get(pred.params))
+    bf16_pred = Predictor(cfg, None, precision="bf16", buckets=(2,),
+                          params=params)
+    export_serving(cfg, str(tmp_path / "art"), params=params,
+                   precision="bf16", buckets=(2,))
+    loaded = ExportedPredictor(str(tmp_path / "art"))
+    assert any(d == "bfloat16" for d in loaded.manifest["leaf_dtypes"])
+    imgs = np.random.default_rng(0).integers(0, 255, (2, 16, 16, 3),
+                                             np.uint8)
+    np.testing.assert_allclose(
+        loaded.predict_proba(imgs), bf16_pred.predict_proba(imgs),
+        atol=1e-6)
