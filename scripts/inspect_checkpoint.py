@@ -93,6 +93,26 @@ def inspect_torch(path: str, stats: bool):
     print(f"== total: {total:,} elements ==")
 
 
+def inspect_artifact(path: str, stats: bool):
+    """export_serving artifact: manifest + per-leaf weight summary."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    print("== serving-export manifest ==")
+    print(json.dumps(manifest, indent=2)[:2000])
+    z = np.load(os.path.join(path, "weights.npz"))
+    total = 0
+    for i in range(manifest["n_weights"]):
+        arr = z[str(i)]
+        total += arr.size
+        dt = manifest.get("leaf_dtypes", [str(arr.dtype)] * (i + 1))[i]
+        line = f"weight[{i:4d}] {dt:9s} {arr.shape}"
+        if stats and arr.size and np.issubdtype(arr.dtype, np.floating):
+            line += f"  mean={arr.mean():+.4e} std={arr.std():.4e}"
+        print(line)
+    print(f"== total: {total:,} elements; programs: "
+          f"{[f'predict_b{b}.shlo' for b in manifest['buckets']]} ==")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("path")
@@ -101,7 +121,10 @@ def main():
     args = parser.parse_args()
 
     if os.path.isdir(args.path):
-        inspect_orbax(args.path, args.stats)
+        if os.path.exists(os.path.join(args.path, "manifest.json")):
+            inspect_artifact(args.path, args.stats)
+        else:
+            inspect_orbax(args.path, args.stats)
     else:
         inspect_torch(args.path, args.stats)
 
