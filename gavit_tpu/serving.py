@@ -34,6 +34,37 @@ logger = logging.getLogger(__name__)
 DEFAULT_BUCKETS = (1, 8, 32, 128)
 
 
+def validate_images(images_u8, image_size: int) -> np.ndarray:
+    """uint8 [S,S,3] or [N,S,S,3] → validated [N,S,S,3] ndarray."""
+    images_u8 = np.asarray(images_u8, np.uint8)
+    if images_u8.ndim == 3:
+        images_u8 = images_u8[None]
+    if images_u8.shape[1:] != (image_size, image_size, 3):
+        raise ValueError(
+            f"expected images [N, {image_size}, {image_size}, 3] uint8, "
+            f"got {images_u8.shape} (resize on host before predicting)"
+        )
+    return images_u8
+
+
+def _bucketed_predict(images_u8, buckets, image_size, call) -> np.ndarray:
+    """Shared serve loop: validate, chunk past the top bucket, pad each
+    chunk up to its bucket, run ``call(chunk)``, slice the pads back off."""
+    images_u8 = validate_images(images_u8, image_size)
+    n, top = images_u8.shape[0], buckets[-1]
+    outs = []
+    for start in range(0, n, top):
+        chunk = images_u8[start : start + top]
+        m = chunk.shape[0]
+        b = next((bb for bb in buckets if m <= bb), top)
+        if m < b:
+            chunk = np.concatenate(
+                [chunk, np.zeros((b - m,) + chunk.shape[1:], np.uint8)]
+            )
+        outs.append(np.asarray(call(chunk))[:m])
+    return np.concatenate(outs)
+
+
 def calibrate_int8(model, params, sample_x, *, n_batches: int = 1) -> dict:
     """Build the static-PTQ "quant" collection: per-tensor activation scales
     observed on sample batches + per-column pre-quantised weights.
@@ -254,12 +285,6 @@ class Predictor:
 
     # ------------------------------------------------------------------
 
-    def _bucket(self, n: int) -> int:
-        for b in self.buckets:
-            if n <= b:
-                return b
-        return self.buckets[-1]
-
     def warmup(self):
         """Pre-compile every bucket shape (avoids first-request stalls)."""
         s = self.config.data.image_size
@@ -280,31 +305,13 @@ class Predictor:
         Requests larger than the top bucket are processed in top-bucket
         chunks; smaller ones pad up to the nearest bucket.
         """
-        images_u8 = np.asarray(images_u8, np.uint8)
-        if images_u8.ndim == 3:
-            images_u8 = images_u8[None]
-        s = self.config.data.image_size
-        if images_u8.shape[1:] != (s, s, 3):
-            raise ValueError(
-                f"expected images [N, {s}, {s}, 3] uint8, got "
-                f"{images_u8.shape} (resize on host before predicting)"
-            )
-        n = images_u8.shape[0]
-        top = self.buckets[-1]
-        outs = []
         t0 = time.perf_counter()
-        for start in range(0, n, top):
-            chunk = images_u8[start : start + top]
-            m = chunk.shape[0]
-            b = self._bucket(m)
-            if m < b:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((b - m,) + chunk.shape[1:], np.uint8)]
-                )
-            probs = np.asarray(self._predict(self.params, chunk))
-            outs.append(probs[:m])
+        probs = _bucketed_predict(
+            images_u8, self.buckets, self.config.data.image_size,
+            lambda chunk: self._predict(self.params, chunk),
+        )
         self._latencies_ms.append((time.perf_counter() - t0) * 1000)
-        return np.concatenate(outs)
+        return probs
 
     def predict_labels(self, images_u8, threshold: float = 0.5):
         """Disease-name lists per image at the given threshold."""
@@ -371,27 +378,59 @@ def export_serving(config: Config, out_dir: str, *,
     os.makedirs(out_dir, exist_ok=True)
     s = config.data.image_size
     kw = {"platforms": tuple(platforms)} if platforms else {}
-    flat, treedef = jax.tree.flatten(pred._variables)
+    flat_paths, treedef = jax.tree_util.tree_flatten_with_path(
+        pred._variables)
+
+    # int8: the static path reads w_q/w_scale/act_scale — the fp32 'kernel'
+    # of every quantised QDense is dead (but must stay in the flax tree for
+    # shape validation). Bake dead kernels as closed-over constants: XLA
+    # never references them, so neither the program nor the npz ships the
+    # ~4x redundant fp32 copies.
+    def quantized_prefixes(node, prefix=()):
+        out = set()
+        for key, val in node.items():
+            if key == "w_q":
+                out.add(prefix)
+            elif isinstance(val, dict):
+                out |= quantized_prefixes(val, prefix + (key,))
+        return out
+
+    qprefixes = (quantized_prefixes(pred._variables["quant"])
+                 if "quant" in pred._variables else set())
+
+    def is_dead(path):
+        keys = tuple(getattr(k, "key", k) for k in path)
+        return (keys[0] == "params" and keys[-1] == "kernel"
+                and keys[1:-1] in qprefixes)
+
+    flat = [leaf for _, leaf in flat_paths]
+    dead = {i for i, (path, _) in enumerate(flat_paths) if is_dead(path)}
+    live_idx = [i for i in range(len(flat)) if i not in dead]
 
     # flat-leaf signature: the artifact consumer never needs the pytree
     # structure (treedefs don't serialize portably) — weights are positional
     @jax.jit
     def flat_fn(*args):
-        *leaves, images = args
+        *live, images = args
+        it = iter(live)
+        leaves = [flat[i] if i in dead else next(it)
+                  for i in range(len(flat))]
         return pred._predict_fn(jax.tree.unflatten(treedef, leaves), images)
 
-    w_structs = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in flat]
+    w_structs = [jax.ShapeDtypeStruct(flat[i].shape, flat[i].dtype)
+                 for i in live_idx]
     for b in pred.buckets:
         exp = jexport.export(flat_fn, **kw)(
             *w_structs, jax.ShapeDtypeStruct((b, s, s, 3), jnp.uint8)
         )
         with open(os.path.join(out_dir, f"predict_b{b}.shlo"), "wb") as f:
             f.write(exp.serialize())
+    live = [flat[i] for i in live_idx]
     np.savez(os.path.join(out_dir, "weights.npz"),
-             **{str(i): np.asarray(v) for i, v in enumerate(flat)})
+             **{str(i): np.asarray(v) for i, v in enumerate(live)})
     # np.load round-trips extension dtypes (bf16) as void — record the true
     # leaf dtypes so the loader can view them back
-    leaf_dtypes = [str(np.asarray(v).dtype) for v in flat]
+    leaf_dtypes = [str(np.asarray(v).dtype) for v in live]
     import json as _json
 
     manifest = {
@@ -406,7 +445,7 @@ def export_serving(config: Config, out_dir: str, *,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "jax_version": jax.__version__,
         "treedef": str(treedef),
-        "n_weights": len(flat),
+        "n_weights": len(live),
         "leaf_dtypes": leaf_dtypes,
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
@@ -452,25 +491,24 @@ class ExportedPredictor:
 
     latency_stats = Predictor.latency_stats
 
+    def warmup(self):
+        """XLA still compiles each deserialized program on first call —
+        pre-compile every bucket so the first request doesn't stall."""
+        s = self.image_size
+        for b in self.buckets:
+            np.asarray(self._fns[b].call(
+                *self._weights, jnp.zeros((b, s, s, 3), jnp.uint8)))
+        logger.info(f"ExportedPredictor warm for buckets {self.buckets}")
+
     def predict_proba(self, images_u8: np.ndarray) -> np.ndarray:
         t0 = time.perf_counter()
-        images_u8 = np.asarray(images_u8, np.uint8)
-        if images_u8.ndim == 3:
-            images_u8 = images_u8[None]
-        n, top = images_u8.shape[0], self.buckets[-1]
-        outs = []
-        for start in range(0, n, top):
-            chunk = images_u8[start : start + top]
-            m = chunk.shape[0]
-            b = next((bb for bb in self.buckets if m <= bb), top)
-            if m < b:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((b - m,) + chunk.shape[1:], np.uint8)]
-                )
-            probs = self._fns[b].call(*self._weights, jnp.asarray(chunk))
-            outs.append(np.asarray(probs)[:m])
+        probs = _bucketed_predict(
+            images_u8, self.buckets, self.image_size,
+            lambda chunk: self._fns[chunk.shape[0]].call(
+                *self._weights, jnp.asarray(chunk)),
+        )
         self._latencies_ms.append((time.perf_counter() - t0) * 1000)
-        return np.concatenate(outs)
+        return probs
 
 
 class MicroBatcher:
@@ -499,6 +537,8 @@ class MicroBatcher:
         self.predictor = predictor
         self.max_wait = max_wait_ms / 1000.0
         self.max_batch = max_batch or predictor.buckets[-1]
+        self.image_size = (getattr(predictor, "image_size", None)
+                           or predictor.config.data.image_size)
         self._q: queue.Queue = queue.Queue()
         self._batch_sizes: list[int] = []
         self._closed = False
@@ -511,9 +551,11 @@ class MicroBatcher:
     def submit(self, images_u8: np.ndarray) -> np.ndarray:
         import threading
 
-        images_u8 = np.asarray(images_u8, np.uint8)
-        if images_u8.ndim == 3:
-            images_u8 = images_u8[None]
+        # validate HERE so a malformed request fails only its own caller —
+        # inside the flush it would poison every coalesced waiter
+        images_u8 = validate_images(images_u8, self.image_size)
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
         done = threading.Event()
         slot: list = [None]
         self._q.put((images_u8, done, slot))
@@ -580,6 +622,19 @@ class MicroBatcher:
         }
 
     def close(self):
+        import queue
+
         self._closed = True
         self._q.put(None)
         self._worker.join(timeout=5)
+        # fail any request that raced past the _closed check in submit()
+        # after the worker exited — better an error than a hung caller
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not None:
+                _, done, slot = item
+                slot[0] = RuntimeError("MicroBatcher closed before flush")
+                done.set()

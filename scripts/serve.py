@@ -153,10 +153,23 @@ def main():
 
     if args.artifact:
         # export_serving artifact: StableHLO programs + weights — no model
-        # code, no warmup needed (shapes pre-compiled at export)
+        # code. precision/tome_r were baked at export time; reject flags
+        # that would otherwise be silently ignored.
+        baked = [flag for flag, on in (
+            ("--checkpoint", args.checkpoint),
+            ("--precision", args.precision != "bf16"),
+            ("--tome-r", args.tome_r),
+            ("--mesh", args.mesh),
+            ("--set", args.overrides),
+        ) if on]
+        if baked:
+            p.error(f"{' '.join(baked)} cannot combine with --artifact "
+                    "(those choices are baked into the artifact at export)")
         from gavit_tpu.serving import ExportedPredictor
 
         predictor = ExportedPredictor(args.artifact)
+        if not args.no_warmup:
+            predictor.warmup()
         image_size = predictor.image_size
         desc = f"{predictor.manifest['model']} (exported artifact)"
     else:

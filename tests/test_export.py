@@ -109,8 +109,16 @@ def test_export_int8_roundtrip(tmp_path):
         export_serving(cfg, str(tmp_path / "bad"), params=params,
                        precision="int8", buckets=(4,))
 
-    export_serving(cfg, str(tmp_path / "art"), params=params,
-                   precision="int8", buckets=(4,), calibration_images=calib)
+    manifest = export_serving(cfg, str(tmp_path / "art"), params=params,
+                              precision="int8", buckets=(4,),
+                              calibration_images=calib)
+    # dead fp32 kernels (superseded by w_q) must NOT ship in the artifact
+    n_all = len(jax.tree.leaves(pred._variables))
+    n_kernels = len([1 for p_, _ in
+                     jax.tree_util.tree_flatten_with_path(
+                         pred._variables)[0]
+                     if getattr(p_[-1], "key", None) == "w_q"])
+    assert manifest["n_weights"] == n_all - n_kernels
     loaded = ExportedPredictor(str(tmp_path / "art"))
     imgs = rng.integers(0, 255, (4, 16, 16, 3), np.uint8)
     np.testing.assert_allclose(

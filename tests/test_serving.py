@@ -235,6 +235,7 @@ def test_microbatcher_propagates_flush_errors():
 
     class Boom:
         buckets = (4,)
+        image_size = 16
 
         def predict_proba(self, x):
             raise RuntimeError("device on fire")
@@ -267,3 +268,36 @@ def test_microbatcher_zero_wait_still_serves():
         np.testing.assert_allclose(out, ref, atol=1e-6)
     finally:
         batcher.close()
+
+
+def test_microbatcher_bad_request_fails_only_its_caller():
+    """A malformed request must be rejected at submit() — inside the flush
+    it would poison every coalesced waiter — and submit after close()
+    raises instead of hanging."""
+    import threading
+
+    from gavit_tpu.serving import MicroBatcher
+
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 1, "num_heads": 2,
+                  "num_classes": 14},
+        "data": {"image_size": 16},
+    })
+    pred = Predictor(cfg, buckets=(1, 4))
+    good = np.zeros((1, 16, 16, 3), np.uint8)
+    ref = pred.predict_proba(good)
+    batcher = MicroBatcher(pred, max_wait_ms=50.0)
+    try:
+        out = [None]
+        t = threading.Thread(
+            target=lambda: out.__setitem__(0, batcher.submit(good)))
+        t.start()
+        with np.testing.assert_raises(ValueError):
+            batcher.submit(np.zeros((1, 20, 20, 3), np.uint8))  # wrong size
+        t.join(timeout=120)
+        np.testing.assert_allclose(out[0], ref, atol=1e-6)
+    finally:
+        batcher.close()
+    with np.testing.assert_raises(RuntimeError):
+        batcher.submit(good)

@@ -22,6 +22,8 @@ for ((s = 0; s < N; s++)); do
   for ((i = s; i < ${#FILES[@]}; i += N)); do
     shard+=("${FILES[$i]}")
   done
+  # an empty shard would make pytest fall back to full discovery
+  ((${#shard[@]})) || continue
   echo "=== shard $((s + 1))/$N: ${#shard[@]} files"
   python -m pytest "${shard[@]}" -q "$@" || rc=1
 done
