@@ -5,3 +5,8 @@ from gavit_tpu.models.tome import (  # noqa: F401
     tome_forward,
     tome_forward_fn,
 )
+from gavit_tpu.models.mae import (  # noqa: F401
+    MAEViT,
+    export_reference_pth,
+    mae_loss,
+)
