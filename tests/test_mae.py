@@ -158,3 +158,32 @@ def test_export_reference_pth_loads_into_supervised_model(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(loaded["head"]["kernel"]), head_before)
     assert "decoder_blocks_0" not in loaded
+
+
+def test_mae_step_dp_mesh_matches_single_device():
+    """The pretrain step under a data mesh reproduces single-device math
+    (the CLI shards its batch over config mesh.data)."""
+    from gavit_tpu.config import MeshConfig
+    from gavit_tpu.parallel.mesh import make_mesh, shard_batch
+
+    model = _model(mask_ratio=0.5)
+    rng = jax.random.key(0)
+    imgs = jax.random.normal(rng, (8, 32, 32, 3))
+    noise = jax.random.uniform(jax.random.key(1), (8, 16))
+    params = model.init({"params": rng}, imgs, noise)["params"]
+
+    def loss_and_grads(p, x):
+        def lf(p):
+            pred, mask = model.apply({"params": p}, x, noise)
+            return mae_loss(pred, x, mask, 8)
+
+        return jax.value_and_grad(lf)(p)
+
+    ref_loss, ref_grads = jax.jit(loss_and_grads)(params, imgs)
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    sharded = shard_batch(mesh, np.asarray(imgs))
+    loss, grads = jax.jit(loss_and_grads)(params, sharded)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(ref_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
