@@ -33,10 +33,12 @@ class MetricCalculator:
     def __init__(self, disease_names):
         self.disease_names = list(disease_names)
 
-    def calculate_metrics(self, targets, predictions, threshold: float = 0.5):
+    def calculate_metrics(self, targets, predictions, threshold=0.5):
+        """``threshold``: scalar, or per-disease array [C] (e.g. the
+        operating points from :meth:`optimal_thresholds`)."""
         targets = np.asarray(targets)
         predictions = np.asarray(predictions)
-        binary = (predictions > threshold).astype(np.float64)
+        binary = (predictions > np.asarray(threshold)).astype(np.float64)
 
         tp = ((binary == 1) & (targets == 1)).sum(axis=0).astype(np.float64)
         tn = ((binary == 0) & (targets == 0)).sum(axis=0).astype(np.float64)
@@ -73,6 +75,32 @@ class MetricCalculator:
 
         metrics["exact_match"] = float(np.mean(np.all(binary == targets, axis=1)))
         return metrics
+
+    def optimal_thresholds(self, targets, predictions) -> dict:
+        """Per-disease operating points maximising Youden's J (sens + spec
+        − 1) on the ROC curve — the reference evaluates only at 0.5, which
+        is rarely the clinical operating point for low-prevalence findings
+        (NIH positives run 1-18% per disease, so 0.5 yields near-zero
+        sensitivity for rare classes). Diseases with single-valued targets
+        are skipped (no curve)."""
+        from sklearn.metrics import roc_curve
+
+        targets = np.asarray(targets)
+        predictions = np.asarray(predictions)
+        out = {}
+        for i, disease in enumerate(self.disease_names):
+            if len(np.unique(targets[:, i])) < 2:
+                continue
+            fpr, tpr, thr = roc_curve(targets[:, i], predictions[:, i])
+            j = int(np.argmax(tpr - fpr))
+            # roc_curve's convention is score >= thr; the battery uses
+            # strict > — take the midpoint down to the next-lower score
+            t = thr[j + 1 : j + 2].mean() * 0.5 + thr[j] * 0.5 \
+                if j + 1 < len(thr) else thr[j] - 1e-6
+            if not np.isfinite(t):  # thr[0] is +inf when j == 0
+                t = float(np.max(predictions[:, i]))
+            out[disease] = float(t)
+        return out
 
     def calculate_confidence_intervals(
         self, targets, predictions, n_bootstrap: int = 1000, alpha: float = 0.05,

@@ -158,6 +158,15 @@ def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0,
     ci_metrics = metric_calculator.calculate_confidence_intervals(
         targets, predictions, seed=prng_seed
     )
+    # per-disease Youden-J operating points + the battery re-evaluated at
+    # them (additive keys: the reference's 0.5-threshold artifact is intact)
+    thresholds = metric_calculator.optimal_thresholds(targets, predictions)
+    thr_vec = np.asarray([
+        thresholds.get(d, 0.5) for d in dataloader.dataset.disease_names
+    ])
+    metrics_at_optimal = metric_calculator.calculate_metrics(
+        targets, predictions, threshold=thr_vec
+    )
     # one plotting implementation: VisualizationManager renders the
     # reference's exact evaluation artifacts (figsize (15,10), dpi 300,
     # "ROC Curves for All Diseases" — /root/reference/scripts/evaluate.py:39-80)
@@ -177,6 +186,8 @@ def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0,
 
     return {
         "metrics": metrics,
+        "optimal_thresholds": thresholds,
+        "metrics_at_optimal_thresholds": metrics_at_optimal,
         "confidence_intervals": {k: list(v) for k, v in ci_metrics.items()},
         "error_analysis": {
             "per_disease_errors": error_df,

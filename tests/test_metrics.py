@@ -72,3 +72,40 @@ def test_plot_metrics_writes_artifacts(tmp_path):
     mc.plot_metrics([m, m], tmp_path)
     assert (tmp_path / "loss_curve.png").exists()
     assert (tmp_path / "auc_curves.png").exists()
+
+
+def test_optimal_thresholds_youden():
+    """Separable scores: the Youden-J threshold lands in the separating gap
+    and beats the 0.5 battery on sensitivity+specificity; per-disease
+    vector thresholds thread through calculate_metrics."""
+    import numpy as np
+
+    from gavit_tpu.utils.metrics import MetricCalculator
+
+    rng = np.random.default_rng(0)
+    n = 400
+    targets = np.zeros((n, 2), np.float32)
+    targets[:, 0] = (rng.random(n) < 0.1)          # rare disease
+    targets[:, 1] = (rng.random(n) < 0.5)
+    preds = np.zeros((n, 2), np.float32)
+    # disease 0: perfectly separable around 0.2 (a 0.5 threshold scores
+    # ZERO sensitivity); disease 1: separable around 0.6
+    preds[:, 0] = np.where(targets[:, 0] > 0, 0.3, 0.1)
+    preds[:, 1] = np.where(targets[:, 1] > 0, 0.7, 0.5)
+    mc = MetricCalculator(["rare", "common"])
+    thr = mc.optimal_thresholds(targets, preds)
+    assert 0.1 < thr["rare"] <= 0.3
+    assert 0.5 < thr["common"] <= 0.7
+
+    at_half = mc.calculate_metrics(targets, preds, threshold=0.5)
+    assert at_half["rare_sensitivity"] == 0.0  # the defect being fixed
+    at_opt = mc.calculate_metrics(
+        targets, preds, threshold=np.asarray([thr["rare"], thr["common"]]))
+    assert at_opt["rare_sensitivity"] == 1.0
+    assert at_opt["rare_specificity"] == 1.0
+    assert at_opt["mean_f1"] >= at_half["mean_f1"]
+
+    # single-valued class is skipped, not crashed
+    targets[:, 0] = 0
+    thr2 = mc.optimal_thresholds(targets, preds)
+    assert "rare" not in thr2 and "common" in thr2
