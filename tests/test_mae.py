@@ -187,3 +187,44 @@ def test_mae_step_dp_mesh_matches_single_device():
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(ref_grads)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_pretrain_cli_to_finetune_chain(tmp_path):
+    """The CLI seam: pretrain_mae.py -> reference-layout .pth ->
+    train.py --set model.pretrained_path picks it up."""
+    import subprocess
+
+    import yaml
+
+    cfg = {
+        "model": {"name": "custom", "img_size": 32, "patch_size": 8,
+                  "embed_dim": 32, "depth": 1, "num_heads": 2,
+                  "num_classes": 14},
+        "data": {"image_size": 32, "batch_size": 16},
+        "training": {"epochs": 1, "warmup_epochs": 1, "precision": "fp32",
+                     "learning_rate": 1e-3},
+        "paths": {"save_dir": str(tmp_path / "ckpt"),
+                  "log_dir": str(tmp_path / "logs")},
+    }
+    cfg_path = tmp_path / "tiny.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    root = Path(__file__).resolve().parent.parent
+    env = dict(os.environ, GAVIT_PLATFORM="cpu")
+    pth = tmp_path / "mae.pth"
+    r = subprocess.run(
+        [sys.executable, "scripts/pretrain_mae.py", "--config",
+         str(cfg_path), "--synthetic", "--out", str(pth),
+         "--decoder-dim", "32", "--decoder-depth", "1",
+         "--decoder-heads", "2",
+         "--set", "data.synthetic_size=64"],
+        cwd=str(root), env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert pth.exists()
+    r = subprocess.run(
+        [sys.executable, "scripts/train.py", "--config", str(cfg_path),
+         "--synthetic", "--set", f"model.pretrained_path={pth}",
+         "--set", "data.synthetic_size=64"],
+        cwd=str(root), env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Loaded MAE pre-trained weights" in r.stderr + r.stdout
