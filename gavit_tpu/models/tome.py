@@ -24,8 +24,10 @@ Design choices vs the paper, for this stack:
     [N, N] table has no meaning after merging) or disabled.
 
 Exactness: ``r=0`` reproduces ``VisionTransformer.apply`` bit-for-bit on
-the same param tree (``tests/test_tome.py``); the learnable-task AUC cost
-of r>0 is measured in ``tools/r4_tome_ab.py`` / BASELINE.md.
+the same param tree, and a model trained without merging keeps its
+learnable-task AUC under moderate r (both pinned in ``tests/test_tome.py``);
+the hardware throughput curve is measured by ``tools/r3_tome_tpu.py``
+(BASELINE.md).
 """
 
 from __future__ import annotations

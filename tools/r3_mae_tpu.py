@@ -12,7 +12,10 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if os.environ.get("GAVIT_PLATFORM", "") == "cpu":
     import jax

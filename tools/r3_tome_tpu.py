@@ -18,7 +18,10 @@ Run detached: nohup python tools/r3_tome_tpu.py > logs/r3_tome_tpu.log 2>&1 &
 from __future__ import annotations
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if os.environ.get("GAVIT_PLATFORM", "") == "cpu":
     import jax

@@ -15,6 +15,8 @@ from __future__ import annotations
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 if os.environ.get("GAVIT_PLATFORM", "") == "cpu":
     import jax
 
