@@ -48,13 +48,16 @@ class VisionTransformerGradCAM:
         inside the forward pass (the functional analogue of the reference's
         backward hook); its gradient IS the gradient w.r.t. those tokens.
         """
-        model, params, bi = self.model, self.params, self.block_index
+        model, bi = self.model, self.block_index
 
         key = class_idx
         if key not in self._jit_cache:
 
+            # params ride as a jit argument — a closure would bake them in
+            # as program constants (rejected by tunneled remote-compile
+            # backends for ViT-B-sized trees; see CLAUDE.md)
             @jax.jit
-            def run(images):
+            def run(params, images):
                 probe = jnp.zeros(
                     (images.shape[0],) + self._token_shape(images), jnp.float32
                 )
@@ -70,7 +73,7 @@ class VisionTransformerGradCAM:
                 return logits, toks, grads
 
             self._jit_cache[key] = run
-        return self._jit_cache[key](images)
+        return self._jit_cache[key](self.params, images)
 
     def _token_shape(self, images):
         cfg = self.model.cfg

@@ -138,8 +138,11 @@ def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0,
             # the LN/residual segments (config mesh.sp)
             model = model.clone(sp=True)
 
+    # params ride as a jit argument — a closure would bake them into the
+    # program as constants (ViT-B: ~350 MB, rejected by tunneled
+    # remote-compile backends with HTTP 413; see CLAUDE.md)
     @jax.jit
-    def forward(images_u8):
+    def forward(params, images_u8):
         return jax.nn.sigmoid(
             model.apply({"params": params}, val_preprocess(images_u8),
                         deterministic=True)
@@ -148,7 +151,7 @@ def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0,
     all_predictions, all_targets = [], []
     for images, targets, valid, _ in device_iterator(dataloader, mesh):
         with mesh_ctx():
-            preds = np.asarray(forward(images))
+            preds = np.asarray(forward(params, images))
         all_predictions.append(_take_valid(preds, valid))
         all_targets.append(_take_valid(np.asarray(targets), valid))
     predictions = np.vstack(all_predictions)
@@ -181,7 +184,8 @@ def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0,
     error_df, error_cooccurrence = analyze_error_patterns(
         predictions, targets, dataloader.dataset.disease_names
     )
-    p50_ms = measure_p50_latency(forward, dataloader.dataset.image_size)
+    p50_ms = measure_p50_latency(lambda u: forward(params, u),
+                                 dataloader.dataset.image_size)
     logger.info(f"p50 single-image eval latency: {p50_ms:.2f} ms")
 
     return {

@@ -45,6 +45,18 @@ gavit_tpu.setup_compilation_cache()
 logger = logging.getLogger("serve")
 
 
+class GavitHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a deep accept backlog.
+
+    The stdlib default request_queue_size of 5 resets connections under a
+    concurrent-client burst (measured: 7/256 ECONNRESET at 32 closed-loop
+    clients in tools/bench_serve.py on the TPU) — exactly the arrival shape
+    the micro-batcher exists to absorb.
+    """
+
+    request_queue_size = 128
+
+
 def build_handler(predictor, image_size: int, model_desc: str,
                   batcher=None):
     class Handler(BaseHTTPRequestHandler):
@@ -200,7 +212,7 @@ def main():
         logger.info(f"Micro-batching: wait {args.coalesce_ms} ms, "
                     f"max batch {batcher.max_batch}")
 
-    server = ThreadingHTTPServer(
+    server = GavitHTTPServer(
         (args.host, args.port),
         build_handler(predictor, image_size, desc, batcher),
     )

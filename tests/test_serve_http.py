@@ -6,7 +6,7 @@ import sys
 import threading
 import urllib.error
 import urllib.request
-from http.server import ThreadingHTTPServer
+
 from pathlib import Path
 
 import numpy as np
@@ -17,7 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from gavit_tpu.config import from_dict
 from gavit_tpu.serving import Predictor
-from scripts.serve import build_handler
+from scripts.serve import GavitHTTPServer, build_handler
 
 
 @pytest.fixture(scope="module")
@@ -27,7 +27,7 @@ def server():
         "depth": 1, "num_heads": 2, "num_classes": 14,
     }, "data": {"image_size": 16}})
     predictor = Predictor(cfg, buckets=(1, 4))
-    srv = ThreadingHTTPServer(
+    srv = GavitHTTPServer(
         ("127.0.0.1", 0), build_handler(predictor, 16, "test-model")
     )
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -102,7 +102,7 @@ def test_coalesced_server_concurrent_posts():
     predictor = Predictor(cfg, buckets=(1, 8))
     predictor.warmup()
     batcher = MicroBatcher(predictor, max_wait_ms=100.0)
-    srv = ThreadingHTTPServer(
+    srv = GavitHTTPServer(
         ("127.0.0.1", 0),
         build_handler(predictor, 16, "test-model", batcher),
     )

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Online-serving benchmark: concurrent HTTP clients vs the micro-batcher.
 
-Spins the real serve.py handler stack in-process (ThreadingHTTPServer +
+Spins the real serve.py handler stack in-process (GavitHTTPServer +
 Predictor), fires C concurrent closed-loop clients posting single images,
 and reports request throughput + latency percentiles — once without
 coalescing (each request pays its own device call) and once with
@@ -19,7 +19,6 @@ import sys
 import threading
 import time
 import urllib.request
-from http.server import ThreadingHTTPServer
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -69,7 +68,7 @@ def main():
     gavit_tpu.setup_compilation_cache()
     from gavit_tpu.config import from_dict
     from gavit_tpu.serving import MicroBatcher, Predictor
-    from scripts.serve import build_handler
+    from scripts.serve import GavitHTTPServer, build_handler
 
     on_tpu = jax.default_backend() == "tpu"
     img_size = 224 if on_tpu else 32
@@ -99,7 +98,7 @@ def main():
         ("direct", None),
         ("coalesce_5ms", MicroBatcher(pred, max_wait_ms=5.0, max_batch=64)),
     ):
-        srv = ThreadingHTTPServer(
+        srv = GavitHTTPServer(
             ("127.0.0.1", 0), build_handler(pred, img_size, "bench",
                                             batcher))
         threading.Thread(target=srv.serve_forever, daemon=True).start()

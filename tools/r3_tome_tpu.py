@@ -66,15 +66,18 @@ def main():
     def sync(x):
         return float(jnp.sum(x.astype(jnp.float32).ravel()[:4]))
 
-    def bench(fn, label):
+    # params/variables always ride as jit ARGUMENTS: a closure would bake
+    # them into the program as constants, and the axon relay's
+    # remote-compile endpoint rejects the ~350 MB request (HTTP 413)
+    def bench(fn, variables, label):
         t0 = time.perf_counter()
-        probs = fn(u8)
+        probs = fn(variables, u8)
         sync(probs)
         print(f"{label}: compile+1st {time.perf_counter() - t0:.0f}s",
               flush=True)
         t0 = time.perf_counter()
         for _ in range(n_iter):
-            probs = fn(u8)
+            probs = fn(variables, u8)
         sync(probs)
         dt = (time.perf_counter() - t0) / n_iter
         ips = batch / dt
@@ -82,17 +85,16 @@ def main():
               flush=True)
         return ips, np.asarray(probs, np.float32)
 
-    base = jax.jit(lambda u: jax.nn.sigmoid(
-        model.apply({"params": params}, val_preprocess(u),
-                    deterministic=True)))
-    ips0, p_base = bench(base, "model.apply (production fused path)")
+    base = jax.jit(lambda p, u: jax.nn.sigmoid(
+        model.apply({"params": p}, val_preprocess(u), deterministic=True)))
+    ips0, p_base = bench(base, params, "model.apply (production fused path)")
 
     results = [("apply", ips0, 0.0)]
     for r in (0, 2, 4, 8, 16):
         fwd = tome_forward_fn(cfg.model, r, dtype=dtype)
-        fn = jax.jit(lambda u, fwd=fwd: jax.nn.sigmoid(
-            fwd(params, val_preprocess(u))))
-        ips, p = bench(fn, f"tome r={r}")
+        fn = jax.jit(lambda p, u, fwd=fwd: jax.nn.sigmoid(
+            fwd(p, val_preprocess(u))))
+        ips, p = bench(fn, params, f"tome r={r}")
         dev = float(np.abs(p - p_base).max())
         print(f"tome r={r}: {ips:.0f} img/s ({ips / ips0:.2f}x), "
               f"max prob dev {dev:.4f}", flush=True)
@@ -108,13 +110,13 @@ def main():
     variables = {"params": params, **quant}
     int8_fn = jax.jit(lambda v, u: jax.nn.sigmoid(
         qmodel.apply(v, val_preprocess(u), deterministic=True)))
-    ips_q0, p_q = bench(lambda u: int8_fn(variables, u), "int8 apply")
+    ips_q0, p_q = bench(int8_fn, variables, "int8 apply")
     results.append(("int8", ips_q0, float(np.abs(p_q - p_base).max())))
     for r in (8, 16):
-        fn = jax.jit(lambda u, r=r: jax.nn.sigmoid(tome_forward(
-            cfg.model, params, val_preprocess(u), r, dtype=jnp.bfloat16,
-            quant=quant["quant"])))
-        ips, p = bench(fn, f"int8+tome r={r}")
+        fn = jax.jit(lambda v, u, r=r: jax.nn.sigmoid(tome_forward(
+            cfg.model, v["params"], val_preprocess(u), r,
+            dtype=jnp.bfloat16, quant=v["quant"])))
+        ips, p = bench(fn, variables, f"int8+tome r={r}")
         dev = float(np.abs(p - p_base).max())
         print(f"int8+tome r={r}: {ips:.0f} img/s ({ips / ips0:.2f}x), "
               f"max prob dev {dev:.4f}", flush=True)
