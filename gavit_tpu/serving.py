@@ -222,6 +222,7 @@ class Predictor:
         self._tome_r = int(tome_r)
         self._variables = {"params": self.params}
         self._is_int8 = precision == "int8"
+        self._has_qat_scales = qat_scales is not None
         if self._is_int8 and qat_scales is not None:
             # serve under the exact noise model QAT trained through:
             # final weights quantised per column + the trained act scales —
@@ -272,11 +273,23 @@ class Predictor:
         with jax.set_mesh(self.mesh):
             return self._predict_fn(self._variables, images_u8)
 
-    def calibrate(self, images_u8: np.ndarray):
+    def calibrate(self, images_u8: np.ndarray, *, force: bool = False):
         """Static PTQ calibration (int8 predictors): observe activation
         ranges on representative images, pre-quantise the weights, and switch
-        the serve path to static scales (no per-call absmax passes)."""
+        the serve path to static scales (no per-call absmax passes).
+
+        A QAT checkpoint already carries the scales the model TRAINED
+        against; replacing them with fresh sample statistics would reopen
+        the train/serve skew QAT exists to close (8.1× — BASELINE.md), so
+        calibration is refused there unless ``force=True``.
+        """
         if not self._is_int8:
+            return
+        if self._has_qat_scales and not force:
+            logger.warning(
+                "calibrate() skipped: predictor holds QAT-trained scales "
+                "(pass force=True to discard them for PTQ scales)"
+            )
             return
         x = val_preprocess(jnp.asarray(np.asarray(images_u8, np.uint8)))
         quant = calibrate_int8(self.model, self.params, x)
@@ -313,13 +326,19 @@ class Predictor:
         self._latencies_ms.append((time.perf_counter() - t0) * 1000)
         return probs
 
-    def predict_labels(self, images_u8, threshold: float = 0.5):
-        """Disease-name lists per image at the given threshold."""
-        probs = self.predict_proba(images_u8)
+    def labels_from_probs(self, probs, threshold: float = 0.5):
+        """Disease-name lists per image from probabilities already in hand
+        (the HTTP handler uses this to avoid a second device pass)."""
         return [
             [self.disease_names[i] for i in np.nonzero(row > threshold)[0]]
-            for row in probs
+            for row in np.asarray(probs)
         ]
+
+    def predict_labels(self, images_u8, threshold: float = 0.5):
+        """Disease-name lists per image at the given threshold."""
+        return self.labels_from_probs(
+            self.predict_proba(images_u8), threshold
+        )
 
     # ------------------------------------------------------------------
 
@@ -490,6 +509,7 @@ class ExportedPredictor:
         self._latencies_ms: list[float] = []
 
     latency_stats = Predictor.latency_stats
+    labels_from_probs = Predictor.labels_from_probs  # needs disease_names only
 
     def warmup(self):
         """XLA still compiles each deserialized program on first call —
@@ -542,6 +562,11 @@ class MicroBatcher:
         self._q: queue.Queue = queue.Queue()
         self._batch_sizes: list[int] = []
         self._closed = False
+        # serialises the closed-check+enqueue in submit() against close():
+        # without it a submit could pass the check, get descheduled while
+        # close() drains, then enqueue into a queue nobody reads — hanging
+        # the caller on done.wait() forever
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="microbatcher")
         self._worker.start()
@@ -554,11 +579,12 @@ class MicroBatcher:
         # validate HERE so a malformed request fails only its own caller —
         # inside the flush it would poison every coalesced waiter
         images_u8 = validate_images(images_u8, self.image_size)
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         done = threading.Event()
         slot: list = [None]
-        self._q.put((images_u8, done, slot))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._q.put((images_u8, done, slot))
         done.wait()
         if isinstance(slot[0], Exception):
             raise slot[0]
@@ -624,11 +650,15 @@ class MicroBatcher:
     def close(self):
         import queue
 
-        self._closed = True
-        self._q.put(None)
+        with self._submit_lock:
+            # under the lock: every submit enqueued before this point is
+            # FIFO-ahead of the None sentinel (the worker flushes it), and
+            # every submit after it sees _closed and raises
+            self._closed = True
+            self._q.put(None)
         self._worker.join(timeout=5)
-        # fail any request that raced past the _closed check in submit()
-        # after the worker exited — better an error than a hung caller
+        # belt-and-braces: fail anything still queued if the worker died
+        # abnormally — better an error than a hung caller
         while True:
             try:
                 item = self._q.get_nowait()

@@ -82,7 +82,12 @@ class MetricCalculator:
         is rarely the clinical operating point for low-prevalence findings
         (NIH positives run 1-18% per disease, so 0.5 yields near-zero
         sensitivity for rare classes). Diseases with single-valued targets
-        are skipped (no curve)."""
+        are skipped (no curve).
+
+        The thresholds are fit IN-SAMPLE on the predictions passed here, so
+        metrics evaluated at them on the same set are optimistically biased
+        — treat them as a tuning artifact; refit on a held-out split before
+        quoting deployed operating-point numbers."""
         from sklearn.metrics import roc_curve
 
         targets = np.asarray(targets)
@@ -91,7 +96,12 @@ class MetricCalculator:
         for i, disease in enumerate(self.disease_names):
             if len(np.unique(targets[:, i])) < 2:
                 continue
-            fpr, tpr, thr = roc_curve(targets[:, i], predictions[:, i])
+            # drop_intermediate would elide collinear ROC points, letting
+            # the midpoint below fall under a dropped score and realize a
+            # different (worse) operating point than the J-optimum
+            fpr, tpr, thr = roc_curve(
+                targets[:, i], predictions[:, i], drop_intermediate=False
+            )
             j = int(np.argmax(tpr - fpr))
             # roc_curve's convention is score >= thr; the battery uses
             # strict > — take the midpoint down to the next-lower score

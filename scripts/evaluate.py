@@ -162,7 +162,9 @@ def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0,
         targets, predictions, seed=prng_seed
     )
     # per-disease Youden-J operating points + the battery re-evaluated at
-    # them (additive keys: the reference's 0.5-threshold artifact is intact)
+    # them (additive keys: the reference's 0.5-threshold artifact is intact).
+    # The thresholds are fit on THIS eval set, so metrics at them are
+    # in-sample-optimistic — the JSON labels them as tuning artifacts
     thresholds = metric_calculator.optimal_thresholds(targets, predictions)
     thr_vec = np.asarray([
         thresholds.get(d, 0.5) for d in dataloader.dataset.disease_names
@@ -191,6 +193,11 @@ def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0,
     return {
         "metrics": metrics,
         "optimal_thresholds": thresholds,
+        "optimal_thresholds_note": (
+            "Youden-J thresholds fit on this evaluation set; "
+            "metrics_at_optimal_thresholds is in-sample-optimistic — refit "
+            "on a held-out split before quoting deployed operating points"
+        ),
         "metrics_at_optimal_thresholds": metrics_at_optimal,
         "confidence_intervals": {k: list(v) for k, v in ci_metrics.items()},
         "error_analysis": {

@@ -61,7 +61,7 @@ def main(argv=None):
     import optax
 
     from gavit_tpu.config import load_config
-    from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
+    from gavit_tpu.data import DataLoader
     from gavit_tpu.models.mae import MAEViT, export_reference_pth, mae_loss
     from gavit_tpu.ops.preprocess import train_preprocess
     from gavit_tpu.parallel.mesh import make_mesh, shard_batch
@@ -71,13 +71,12 @@ def main(argv=None):
     config = load_config(args.config, args.overrides)
     tcfg, dcfg = config.training, config.data
 
-    if args.synthetic or not dcfg.train_dir:
-        dataset = SyntheticChestXrayDataset(
-            size=max(512, dcfg.batch_size * 4), image_size=dcfg.image_size)
-    else:
-        from scripts.train import create_datasets  # same tiers as supervised
+    from scripts.train import create_datasets  # same tiers as supervised
 
-        dataset, _ = create_datasets(config, synthetic=False)
+    # one dataset factory for both modes so data.* overrides
+    # (synthetic_size/seed/learnable, packed dirs) apply here too
+    dataset, _ = create_datasets(
+        config, synthetic=args.synthetic or not dcfg.train_dir)
     loader = DataLoader(dataset, dcfg.batch_size, shuffle=True,
                         num_workers=dcfg.num_workers, drop_last=True)
 

@@ -108,11 +108,7 @@ def build_handler(predictor, image_size: int, model_desc: str,
                     probs = predictor.predict_proba(arr)
                 # labels derive from the probs already in hand (a second
                 # predict_labels() call would pay a second device pass)
-                labels = [
-                    [predictor.disease_names[i]
-                     for i in np.nonzero(row > 0.5)[0]]
-                    for row in probs
-                ]
+                labels = predictor.labels_from_probs(probs)
                 self._send(200, {
                     "probabilities": probs.round(5).tolist(),
                     "labels": labels,

@@ -109,3 +109,22 @@ def test_optimal_thresholds_youden():
     targets[:, 0] = 0
     thr2 = mc.optimal_thresholds(targets, preds)
     assert "rare" not in thr2 and "common" in thr2
+
+
+def test_optimal_thresholds_collinear_roc_run():
+    """roc_curve's default drop_intermediate elides collinear ROC points;
+    the midpoint below the J-optimum would then fall UNDER dropped scores
+    and realize a worse operating point than the optimum it claims
+    (targets [1,0,0,0], preds [.9,.8,.7,.6]: the dropped 0.8/0.7 run put
+    the midpoint at 0.75 → specificity 2/3 instead of 1.0)."""
+    import numpy as np
+
+    from gavit_tpu.utils.metrics import MetricCalculator
+
+    targets = np.asarray([[1], [0], [0], [0]], np.float32)
+    preds = np.asarray([[0.9], [0.8], [0.7], [0.6]], np.float32)
+    mc = MetricCalculator(["d"])
+    t = mc.optimal_thresholds(targets, preds)["d"]
+    at = mc.calculate_metrics(targets, preds, threshold=np.asarray([t]))
+    assert at["d_sensitivity"] == 1.0
+    assert at["d_specificity"] == 1.0

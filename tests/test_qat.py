@@ -179,6 +179,23 @@ def test_qat_checkpoint_serves_int8_with_trained_scales(tmp_path):
     assert probs.shape == (2, 14)
     assert np.isfinite(probs).all()
 
+    # calibrate() must NOT silently replace the trained noise model with
+    # fresh sample scales (that reopens the train/serve skew QAT closes)
+    before = jax.tree.leaves(pred._variables["quant"])
+    rng = np.random.default_rng(0)
+    pred.calibrate(rng.integers(0, 256, (4, 16, 16, 3), np.uint8))
+    after = jax.tree.leaves(pred._variables["quant"])
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the explicit escape hatch does recalibrate
+    pred.calibrate(rng.integers(0, 256, (4, 16, 16, 3), np.uint8),
+                   force=True)
+    forced = jax.tree.leaves(pred._variables["quant"])
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(before, forced)
+    )
+
 
 # ---------------------------------------------------------------------------
 # sharding compositions

@@ -59,6 +59,9 @@ def test_predict_labels_and_latency_stats():
     assert len(labels) == 2 and len(labels[0]) == 14
     labels_none = p.predict_labels(imgs, threshold=1.1)
     assert labels_none[0] == []
+    # the HTTP handler derives labels from probs already in hand — one
+    # shared implementation, same result
+    assert p.labels_from_probs(p.predict_proba(imgs), 0.0) == labels
     stats = p.latency_stats()
     assert stats["count"] >= 2 and stats["p50_ms"] > 0
 

@@ -193,7 +193,10 @@ def main():
         log(f"[2b] int8 pallas kernel FAILED: {type(e).__name__}: {e}")
 
     # ---- 3. larger block for int8 (32x128 tiles want bigger bm) ----------
-    for bm in (128, 256):
+    # only block sizes that divide M: a truncating grid (M // bm rows) would
+    # time LESS work than the other rows of the sweep and leave the output
+    # tail unwritten
+    for bm in (b for b in (128, 256) if M % b == 0):
         @jax.jit
         def int8_mlp_b(x, w1q, s1, w2q, s2, bm=bm):
             return pl.pallas_call(
