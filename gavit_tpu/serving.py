@@ -33,6 +33,16 @@ logger = logging.getLogger(__name__)
 
 DEFAULT_BUCKETS = (1, 8, 32, 128)
 
+# latency/batch-size samples kept for percentile windows (appends are
+# GIL-atomic; the deque bound keeps a long-lived server's footprint flat)
+_STATS_WINDOW = 4096
+
+
+def _latency_window():
+    from collections import deque
+
+    return deque(maxlen=_STATS_WINDOW)
+
 
 def validate_images(images_u8, image_size: int) -> np.ndarray:
     """uint8 [S,S,3] or [N,S,S,3] → validated [N,S,S,3] ndarray."""
@@ -253,7 +263,8 @@ class Predictor:
             return jax.nn.sigmoid(logits.astype(jnp.float32))
 
         self._predict_fn = predict_fn
-        self._latencies_ms: list[float] = []
+        self._latencies_ms = _latency_window()
+        self._latency_count = 0
 
     def _predict(self, _params_ignored, images_u8):
         if self._is_int8 and self._tome_r and "quant" not in self._variables:
@@ -324,6 +335,7 @@ class Predictor:
             lambda chunk: self._predict(self.params, chunk),
         )
         self._latencies_ms.append((time.perf_counter() - t0) * 1000)
+        self._latency_count += 1
         return probs
 
     def labels_from_probs(self, probs, threshold: float = 0.5):
@@ -345,9 +357,14 @@ class Predictor:
     def latency_stats(self) -> dict:
         if not self._latencies_ms:
             return {}
+        # percentiles over the sliding window (a long-lived server would
+        # otherwise grow the sample list one float per request, forever,
+        # and early warmup calls would skew lifetime percentiles anyway);
+        # count is the true lifetime total
         arr = np.asarray(self._latencies_ms)
         return {
-            "count": int(arr.size),
+            "count": int(self._latency_count),
+            "window": int(arr.size),
             "p50_ms": float(np.percentile(arr, 50)),
             "p95_ms": float(np.percentile(arr, 95)),
             "p99_ms": float(np.percentile(arr, 99)),
@@ -506,7 +523,8 @@ class ExportedPredictor:
             with open(os.path.join(artifact_dir, f"predict_b{b}.shlo"),
                       "rb") as f:
                 self._fns[b] = jexport.deserialize(f.read())
-        self._latencies_ms: list[float] = []
+        self._latencies_ms = _latency_window()
+        self._latency_count = 0
 
     latency_stats = Predictor.latency_stats
     labels_from_probs = Predictor.labels_from_probs  # needs disease_names only
@@ -528,6 +546,7 @@ class ExportedPredictor:
                 *self._weights, jnp.asarray(chunk)),
         )
         self._latencies_ms.append((time.perf_counter() - t0) * 1000)
+        self._latency_count += 1
         return probs
 
 
@@ -560,7 +579,9 @@ class MicroBatcher:
         self.image_size = (getattr(predictor, "image_size", None)
                            or predictor.config.data.image_size)
         self._q: queue.Queue = queue.Queue()
-        self._batch_sizes: list[int] = []
+        self._batch_sizes = _latency_window()
+        self._total_flushes = 0
+        self._total_rows = 0
         self._closed = False
         # serialises the closed-check+enqueue in submit() against close():
         # without it a submit could pass the check, get descheduled while
@@ -594,15 +615,22 @@ class MicroBatcher:
         import queue
         import time as _time
 
-        while not self._closed:
+        # loop until the None sentinel: close() guarantees every accepted
+        # submit is FIFO-ahead of it, so draining to the sentinel (rather
+        # than polling _closed, which a max-batch flush could observe before
+        # the queue is empty) flushes every accepted request exactly once
+        while True:
             try:
                 first = self._q.get(timeout=0.1)
             except queue.Empty:
+                if self._closed:  # sentinel already consumed by inner loop
+                    return
                 continue
             if first is None:
                 return
             batch = [first]
             rows = first[0].shape[0]
+            done = False
             deadline = _time.monotonic() + self.max_wait
             while rows < self.max_batch:
                 timeout = deadline - _time.monotonic()
@@ -611,14 +639,19 @@ class MicroBatcher:
                 except queue.Empty:
                     break
                 if item is None:
-                    self._closed = True
+                    done = True
                     break
                 batch.append(item)
                 rows += item[0].shape[0]
             self._flush(batch)
+            if done:
+                return
 
     def _flush(self, batch):
-        self._batch_sizes.append(sum(b[0].shape[0] for b in batch))
+        rows = sum(b[0].shape[0] for b in batch)
+        self._batch_sizes.append(rows)
+        self._total_flushes += 1
+        self._total_rows += rows
         try:
             probs = self.predictor.predict_proba(
                 np.concatenate([b[0] for b in batch])
@@ -638,10 +671,12 @@ class MicroBatcher:
     def stats(self) -> dict:
         if not self._batch_sizes:
             return {"flushes": 0}
+        # flushes/rows are lifetime totals; the shape stats (mean/max/
+        # coalesced) come from the bounded sliding window
         arr = np.asarray(self._batch_sizes)
         return {
-            "flushes": int(arr.size),
-            "rows": int(arr.sum()),
+            "flushes": int(self._total_flushes),
+            "rows": int(self._total_rows),
             "mean_batch": float(arr.mean()),
             "max_batch": int(arr.max()),
             "coalesced_frac": float((arr > 1).mean()),

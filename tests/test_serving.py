@@ -304,3 +304,60 @@ def test_microbatcher_bad_request_fails_only_its_caller():
         batcher.close()
     with np.testing.assert_raises(RuntimeError):
         batcher.submit(good)
+
+
+def test_microbatcher_close_flushes_accepted_requests():
+    """Requests accepted BEFORE close() must get results, not errors: a
+    max-batch flush used to let the worker observe _closed and exit while
+    accepted requests were still queued behind it."""
+    import threading
+    import time as _time
+
+    from gavit_tpu.serving import MicroBatcher
+
+    class SlowPred:
+        buckets = (1,)
+        image_size = 16
+
+        def __init__(self):
+            self.started = threading.Event()
+            self.release = threading.Event()
+            self.calls = []
+
+        def predict_proba(self, x):
+            self.calls.append(len(x))
+            if len(self.calls) == 1:  # hold the first flush open
+                self.started.set()
+                self.release.wait(5)
+            return np.ones((len(x), 14), np.float32)
+
+    pred = SlowPred()
+    batcher = MicroBatcher(pred, max_wait_ms=0.0, max_batch=1)
+    img = np.zeros((1, 16, 16, 3), np.uint8)
+    outs = [None] * 3
+
+    def sub(i):
+        try:
+            outs[i] = batcher.submit(img)
+        except Exception as e:  # noqa: BLE001 — the assert below reports it
+            outs[i] = e
+
+    threads = [threading.Thread(target=sub, args=(i,)) for i in range(3)]
+    threads[0].start()
+    assert pred.started.wait(5)
+    threads[1].start()
+    threads[2].start()
+    _time.sleep(0.1)  # B and C enqueue (submit queues before blocking)
+    closer = threading.Thread(target=batcher.close)
+    closer.start()
+    _time.sleep(0.1)  # close() has set _closed and queued the sentinel
+    pred.release.set()
+    for t in threads:
+        t.join(5)
+    closer.join(5)
+    for i, out in enumerate(outs):
+        assert isinstance(out, np.ndarray), f"request {i} got {out!r}"
+    assert pred.calls == [1, 1, 1]
+    # and a submit AFTER close still raises instead of hanging
+    with np.testing.assert_raises(RuntimeError):
+        batcher.submit(img)
