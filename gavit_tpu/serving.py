@@ -583,6 +583,7 @@ class MicroBatcher:
         self._total_flushes = 0
         self._total_rows = 0
         self._closed = False
+        self._close_join_s = 5.0  # bounded first join in close()
         # serialises the closed-check+enqueue in submit() against close():
         # without it a submit could pass the check, get descheduled while
         # close() drains, then enqueue into a queue nobody reads — hanging
@@ -691,9 +692,15 @@ class MicroBatcher:
             # every submit after it sees _closed and raises
             self._closed = True
             self._q.put(None)
-        self._worker.join(timeout=5)
-        # belt-and-braces: fail anything still queued if the worker died
-        # abnormally — better an error than a hung caller
+        self._worker.join(timeout=self._close_join_s)
+        if self._worker.is_alive():
+            # a slow in-flight flush (one device call can exceed the bounded
+            # join, e.g. a cold-bucket compile): the worker is guaranteed to
+            # reach the sentinel, so wait it out — error-draining here would
+            # break the flush-every-accepted-request guarantee
+            self._worker.join()
+        # the worker is dead: anything still queued can never be flushed —
+        # fail it (abnormal worker death; better an error than a hung caller)
         while True:
             try:
                 item = self._q.get_nowait()

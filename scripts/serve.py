@@ -25,6 +25,7 @@ import io
 import json
 import logging
 import os
+import signal
 import sys
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -213,11 +214,23 @@ def main():
         build_handler(predictor, image_size, desc, batcher),
     )
     logger.info(f"Serving {desc} on http://{args.host}:{args.port}")
+
+    # production stop is SIGTERM (kubelet, systemd, Ctrl-C is SIGINT):
+    # route both through the same graceful path — stop accepting, then
+    # flush every accepted in-flight request via MicroBatcher.close()
+    def _term(_sig, _frm):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         logger.info("shutting down")
         server.shutdown()
+        if batcher is not None:
+            batcher.close()  # flushes every accepted request
+        server.server_close()
+        logger.info("shutdown complete")
 
 
 if __name__ == "__main__":

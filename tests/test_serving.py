@@ -361,3 +361,59 @@ def test_microbatcher_close_flushes_accepted_requests():
     # and a submit AFTER close still raises instead of hanging
     with np.testing.assert_raises(RuntimeError):
         batcher.submit(img)
+
+
+def test_microbatcher_close_waits_out_slow_flush():
+    """A flush that outlasts close()'s bounded join must NOT get its queued
+    followers error-drained: the worker is alive and will reach the sentinel,
+    so close() waits it out (only a dead worker forfeits queued requests)."""
+    import threading
+    import time as _time
+
+    from gavit_tpu.serving import MicroBatcher
+
+    class SlowPred:
+        buckets = (1,)
+        image_size = 16
+
+        def __init__(self):
+            self.started = threading.Event()
+            self.release = threading.Event()
+            self.calls = 0
+
+        def predict_proba(self, x):
+            self.calls += 1
+            if self.calls == 1:  # outlast close()'s bounded join
+                self.started.set()
+                self.release.wait(10)
+            return np.ones((len(x), 14), np.float32)
+
+    pred = SlowPred()
+    batcher = MicroBatcher(pred, max_wait_ms=0.0, max_batch=1)
+    batcher._close_join_s = 0.05  # shrink the bounded join for the test
+    img = np.zeros((1, 16, 16, 3), np.uint8)
+    outs = [None] * 2
+
+    def sub(i):
+        try:
+            outs[i] = batcher.submit(img)
+        except Exception as e:  # noqa: BLE001 — the assert below reports it
+            outs[i] = e
+
+    threads = [threading.Thread(target=sub, args=(i,)) for i in range(2)]
+    threads[0].start()
+    assert pred.started.wait(5)
+    threads[1].start()
+    _time.sleep(0.1)  # request B enqueues behind the in-flight flush
+    closer = threading.Thread(target=batcher.close)
+    closer.start()
+    _time.sleep(0.3)  # bounded join (0.05 s) has expired, flush still open
+    assert closer.is_alive()  # close is waiting the worker out, not draining
+    pred.release.set()
+    for t in threads:
+        t.join(5)
+    closer.join(5)
+    assert not closer.is_alive()
+    for i, out in enumerate(outs):
+        assert isinstance(out, np.ndarray), f"request {i} got {out!r}"
+    assert pred.calls == 2
