@@ -59,7 +59,7 @@ class GavitHTTPServer(ThreadingHTTPServer):
 
 
 def build_handler(predictor, image_size: int, model_desc: str,
-                  batcher=None):
+                  batcher=None, max_body_bytes: int = 128 << 20):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -90,6 +90,15 @@ def build_handler(predictor, image_size: int, model_desc: str,
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
+                if length > max_body_bytes:
+                    # refuse before reading: an unbounded read would buffer
+                    # an arbitrarily large body in serving-host memory
+                    self.close_connection = True
+                    self._send(413, {
+                        "error": f"request body {length} bytes exceeds "
+                                 f"limit {max_body_bytes} (--max-body-mb)"
+                    })
+                    return
                 raw = self.rfile.read(length)
                 ctype = self.headers.get("Content-Type", "")
                 if ctype.startswith("application/json"):
@@ -140,6 +149,10 @@ def main():
                         "similar token pairs after every block "
                         "(training-free throughput/accuracy dial; "
                         "composes with --precision int8)")
+    p.add_argument("--max-body-mb", type=int, default=128,
+                   help="reject request bodies above this size with 413 "
+                        "(an unbounded read would buffer arbitrarily large "
+                        "bodies in serving-host memory)")
     p.add_argument("--coalesce-ms", type=float, default=None,
                    metavar="MS",
                    help="micro-batch concurrent requests: a request waits "
@@ -211,7 +224,8 @@ def main():
 
     server = GavitHTTPServer(
         (args.host, args.port),
-        build_handler(predictor, image_size, desc, batcher),
+        build_handler(predictor, image_size, desc, batcher,
+                      max_body_bytes=args.max_body_mb << 20),
     )
     logger.info(f"Serving {desc} on http://{args.host}:{args.port}")
 

@@ -79,6 +79,37 @@ def test_garbage_body_returns_400(server):
     assert e.value.code == 400
 
 
+def test_oversized_body_rejected_413():
+    """Bodies above --max-body-mb are refused BEFORE the read (an unbounded
+    read would buffer an arbitrarily large body in serving-host memory)."""
+    cfg = from_dict({"model": {
+        "name": "custom", "img_size": 16, "patch_size": 8, "embed_dim": 32,
+        "depth": 1, "num_heads": 2, "num_classes": 14,
+    }, "data": {"image_size": 16}})
+    predictor = Predictor(cfg, buckets=(1,))
+    srv = GavitHTTPServer(
+        ("127.0.0.1", 0),
+        build_handler(predictor, 16, "test-model", max_body_bytes=16384),
+    )
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            url + "/predict", data=b"x" * 32768,
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 413
+        # an in-limit request on a fresh connection still works
+        arr = np.zeros((16, 16, 3), np.uint8).tolist()
+        r = _post(url + "/predict", json.dumps(arr).encode(),
+                  "application/json")
+        assert len(r["probabilities"]) == 1
+    finally:
+        srv.shutdown()
+
+
 def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(server + "/nope", timeout=60)
