@@ -81,6 +81,42 @@ def build_handler(predictor, image_size: int, model_desc: str,
                 if batcher is not None:
                     stats["microbatch"] = batcher.stats()
                 self._send(200, stats)
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the same counters /stats
+                # serves as JSON — the standard scrape surface
+                lines = []
+
+                def emit(name, kind, value, help_=""):
+                    if help_:
+                        lines.append(f"# HELP gavit_{name} {help_}")
+                    lines.append(f"# TYPE gavit_{name} {kind}")
+                    lines.append(f"gavit_{name} {value}")
+
+                lat = predictor.latency_stats()
+                emit("requests_total", "counter", lat.get("count", 0),
+                     "predict calls served (lifetime)")
+                for q in ("p50", "p95", "p99", "mean"):
+                    if f"{q}_ms" in lat:
+                        emit(f"latency_{q}_ms", "gauge", lat[f"{q}_ms"],
+                             f"{q} request latency over the sliding window")
+                if batcher is not None:
+                    mb = batcher.stats()
+                    emit("microbatch_flushes_total", "counter",
+                         mb.get("flushes", 0), "device flushes (lifetime)")
+                    emit("microbatch_rows_total", "counter",
+                         mb.get("rows", 0), "rows flushed (lifetime)")
+                    if "mean_batch" in mb:
+                        emit("microbatch_mean_batch", "gauge",
+                             mb["mean_batch"])
+                        emit("microbatch_coalesced_frac", "gauge",
+                             mb["coalesced_frac"])
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "unknown path"})
 

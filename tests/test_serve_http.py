@@ -121,6 +121,16 @@ def test_stats_after_traffic(server):
     assert r.get("count", 0) >= 1
 
 
+def test_prometheus_metrics_endpoint(server):
+    body = urllib.request.urlopen(server + "/metrics", timeout=60).read()
+    text = body.decode()
+    assert "# TYPE gavit_requests_total counter" in text
+    count = [ln for ln in text.splitlines()
+             if ln.startswith("gavit_requests_total")]
+    assert count and float(count[0].split()[1]) >= 1
+    assert "gavit_latency_p50_ms" in text
+
+
 def test_coalesced_server_concurrent_posts():
     """--coalesce-ms path: concurrent requests are answered correctly and
     /stats exposes the microbatch block."""
