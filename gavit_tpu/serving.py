@@ -624,8 +624,11 @@ class MicroBatcher:
             try:
                 first = self._q.get(timeout=0.1)
             except queue.Empty:
-                if self._closed:  # sentinel already consumed by inner loop
-                    return
+                # NOT a termination signal even when _closed is set: a
+                # submit racing close() can enqueue between this timeout
+                # and the _closed read — returning here would error-drain
+                # that accepted request.  close() always enqueues the
+                # sentinel, so looping to it is both live and exact.
                 continue
             if first is None:
                 return

@@ -417,3 +417,49 @@ def test_microbatcher_close_waits_out_slow_flush():
     for i, out in enumerate(outs):
         assert isinstance(out, np.ndarray), f"request {i} got {out!r}"
     assert pred.calls == 2
+
+
+def test_microbatcher_empty_timeout_is_not_termination():
+    """A submit racing close() can enqueue between the worker's get()
+    timeout and its _closed read; an old fast-path returned on
+    Empty+_closed, error-draining that accepted request.  The sentinel is
+    the ONLY termination signal: with the closed flag already visible and
+    the queue momentarily empty, the worker must keep draining and flush a
+    late-but-accepted request that lands ahead of the sentinel."""
+    import time as _time
+
+    from gavit_tpu.serving import MicroBatcher
+
+    class Pred:
+        buckets = (1,)
+        image_size = 16
+
+        def __init__(self):
+            self.calls = 0
+
+        def predict_proba(self, x):
+            self.calls += 1
+            return np.ones((len(x), 14), np.float32)
+
+    pred = Pred()
+    batcher = MicroBatcher(pred, max_wait_ms=0.0, max_batch=1)
+    # simulate the torn close() state the worker can observe: closed flag
+    # set, queue empty, sentinel (and one accepted request before it) not
+    # yet enqueued.  Give the worker >2 timeout cycles to (wrongly) exit.
+    batcher._closed = True
+    _time.sleep(0.3)
+    assert batcher._worker.is_alive(), (
+        "worker treated Empty+_closed as termination; a racing accepted "
+        "request would be error-drained instead of flushed")
+    # the racing request then lands, FIFO-ahead of close()'s sentinel
+    import threading
+
+    done = threading.Event()
+    slot = [None]
+    img = np.zeros((1, 16, 16, 3), np.uint8)
+    batcher._q.put((img, done, slot))
+    batcher._closed = False  # let the real close() run its normal path
+    batcher.close()
+    assert done.is_set()
+    assert isinstance(slot[0], np.ndarray), f"request got {slot[0]!r}"
+    assert pred.calls == 1
