@@ -33,8 +33,8 @@ logger = logging.getLogger(__name__)
 
 DEFAULT_BUCKETS = (1, 8, 32, 128)
 
-# latency/batch-size samples kept for percentile windows (appends are
-# GIL-atomic; the deque bound keeps a long-lived server's footprint flat)
+# latency/batch-size samples kept for percentile windows (the deque bound
+# keeps a long-lived server's footprint flat)
 _STATS_WINDOW = 4096
 
 
@@ -42,6 +42,37 @@ def _latency_window():
     from collections import deque
 
     return deque(maxlen=_STATS_WINDOW)
+
+
+def _record_latency(obj, ms: float) -> None:
+    """Thread-safe window append + lifetime count (ThreadingHTTPServer
+    handler threads call predict concurrently in direct — non-coalesced —
+    serving; `+= 1` is a non-atomic read-modify-write)."""
+    with obj._stats_lock:
+        obj._latencies_ms.append(ms)
+        obj._latency_count += 1
+
+
+def _latency_stats(obj) -> dict:
+    # snapshot under the lock: iterating the deque (np.asarray) while a
+    # handler thread appends raises "deque mutated during iteration"
+    with obj._stats_lock:
+        if not obj._latencies_ms:
+            return {}
+        # percentiles over the sliding window (a long-lived server would
+        # otherwise grow the sample list one float per request, forever,
+        # and early warmup calls would skew lifetime percentiles anyway);
+        # count is the true lifetime total
+        arr = np.asarray(obj._latencies_ms)
+        count = obj._latency_count
+    return {
+        "count": int(count),
+        "window": int(arr.size),
+        "p50_ms": float(np.percentile(arr, 50)),
+        "p95_ms": float(np.percentile(arr, 95)),
+        "p99_ms": float(np.percentile(arr, 99)),
+        "mean_ms": float(arr.mean()),
+    }
 
 
 def validate_images(images_u8, image_size: int) -> np.ndarray:
@@ -265,6 +296,9 @@ class Predictor:
         self._predict_fn = predict_fn
         self._latencies_ms = _latency_window()
         self._latency_count = 0
+        import threading
+
+        self._stats_lock = threading.Lock()
 
     def _predict(self, _params_ignored, images_u8):
         if self._is_int8 and self._tome_r and "quant" not in self._variables:
@@ -334,8 +368,7 @@ class Predictor:
             images_u8, self.buckets, self.config.data.image_size,
             lambda chunk: self._predict(self.params, chunk),
         )
-        self._latencies_ms.append((time.perf_counter() - t0) * 1000)
-        self._latency_count += 1
+        _record_latency(self, (time.perf_counter() - t0) * 1000)
         return probs
 
     def labels_from_probs(self, probs, threshold: float = 0.5):
@@ -355,21 +388,7 @@ class Predictor:
     # ------------------------------------------------------------------
 
     def latency_stats(self) -> dict:
-        if not self._latencies_ms:
-            return {}
-        # percentiles over the sliding window (a long-lived server would
-        # otherwise grow the sample list one float per request, forever,
-        # and early warmup calls would skew lifetime percentiles anyway);
-        # count is the true lifetime total
-        arr = np.asarray(self._latencies_ms)
-        return {
-            "count": int(self._latency_count),
-            "window": int(arr.size),
-            "p50_ms": float(np.percentile(arr, 50)),
-            "p95_ms": float(np.percentile(arr, 95)),
-            "p99_ms": float(np.percentile(arr, 99)),
-            "mean_ms": float(arr.mean()),
-        }
+        return _latency_stats(self)
 
 
 def export_serving(config: Config, out_dir: str, *,
@@ -525,6 +544,9 @@ class ExportedPredictor:
                 self._fns[b] = jexport.deserialize(f.read())
         self._latencies_ms = _latency_window()
         self._latency_count = 0
+        import threading
+
+        self._stats_lock = threading.Lock()
 
     latency_stats = Predictor.latency_stats
     labels_from_probs = Predictor.labels_from_probs  # needs disease_names only
@@ -545,8 +567,7 @@ class ExportedPredictor:
             lambda chunk: self._fns[chunk.shape[0]].call(
                 *self._weights, jnp.asarray(chunk)),
         )
-        self._latencies_ms.append((time.perf_counter() - t0) * 1000)
-        self._latency_count += 1
+        _record_latency(self, (time.perf_counter() - t0) * 1000)
         return probs
 
 
@@ -582,6 +603,7 @@ class MicroBatcher:
         self._batch_sizes = _latency_window()
         self._total_flushes = 0
         self._total_rows = 0
+        self._stats_lock = threading.Lock()
         self._closed = False
         self._close_join_s = 5.0  # bounded first join in close()
         # serialises the closed-check+enqueue in submit() against close():
@@ -653,9 +675,10 @@ class MicroBatcher:
 
     def _flush(self, batch):
         rows = sum(b[0].shape[0] for b in batch)
-        self._batch_sizes.append(rows)
-        self._total_flushes += 1
-        self._total_rows += rows
+        with self._stats_lock:
+            self._batch_sizes.append(rows)
+            self._total_flushes += 1
+            self._total_rows += rows
         try:
             probs = self.predictor.predict_proba(
                 np.concatenate([b[0] for b in batch])
@@ -673,14 +696,18 @@ class MicroBatcher:
             done.set()
 
     def stats(self) -> dict:
-        if not self._batch_sizes:
-            return {"flushes": 0}
+        # snapshot under the lock — same deque-mutated-during-iteration
+        # hazard as _latency_stats (a /stats scrape racing a worker flush)
+        with self._stats_lock:
+            if not self._batch_sizes:
+                return {"flushes": 0}
+            arr = np.asarray(self._batch_sizes)
+            flushes, rows = self._total_flushes, self._total_rows
         # flushes/rows are lifetime totals; the shape stats (mean/max/
         # coalesced) come from the bounded sliding window
-        arr = np.asarray(self._batch_sizes)
         return {
-            "flushes": int(self._total_flushes),
-            "rows": int(self._total_rows),
+            "flushes": int(flushes),
+            "rows": int(rows),
             "mean_batch": float(arr.mean()),
             "max_batch": int(arr.max()),
             "coalesced_frac": float((arr > 1).mean()),

@@ -463,3 +463,66 @@ def test_microbatcher_empty_timeout_is_not_termination():
     assert done.is_set()
     assert isinstance(slot[0], np.ndarray), f"request got {slot[0]!r}"
     assert pred.calls == 1
+
+
+def test_stats_safe_under_concurrent_predicts():
+    """/stats and /metrics scrape the latency window while handler threads
+    append to it: iterating a deque mid-append raises 'deque mutated during
+    iteration', and the lifetime counter is a non-atomic += . Hammer both
+    sides concurrently and check the final counts are exact."""
+    import threading
+
+    from gavit_tpu import serving as srv
+    from gavit_tpu.serving import MicroBatcher
+
+    class Pred:
+        buckets = (1,)
+        image_size = 16
+
+        def __init__(self):
+            self._latencies_ms = srv._latency_window()
+            self._latency_count = 0
+            self._stats_lock = threading.Lock()
+
+        latency_stats = srv.Predictor.latency_stats
+
+        def predict_proba(self, x):
+            srv._record_latency(self, 1.0)
+            return np.ones((len(x), 14), np.float32)
+
+    pred = Pred()
+    batcher = MicroBatcher(pred, max_wait_ms=0.0, max_batch=1)
+    img = np.zeros((1, 16, 16, 3), np.uint8)
+    n_threads, n_each = 8, 50
+    errs = []
+
+    def clients():
+        try:
+            for _ in range(n_each):
+                batcher.submit(img)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    def scraper(stop):
+        try:
+            while not stop.is_set():
+                pred.latency_stats()
+                batcher.stats()
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    stop = threading.Event()
+    scr = [threading.Thread(target=scraper, args=(stop,)) for _ in range(2)]
+    cls = [threading.Thread(target=clients) for _ in range(n_threads)]
+    for t in scr + cls:
+        t.start()
+    for t in cls:
+        t.join(60)
+    stop.set()
+    for t in scr:
+        t.join(10)
+    batcher.close()
+    assert not errs, errs[0]
+    assert pred.latency_stats()["count"] == n_threads * n_each
+    st = batcher.stats()
+    assert st["rows"] == n_threads * n_each
