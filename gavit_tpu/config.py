@@ -155,6 +155,34 @@ class GraphConfig:
 
 
 @dataclass(frozen=True)
+class MoEConfig:
+    """Mixture-of-Experts blocks (V-MoE family — ``models/moe.py``).
+
+    A model family beyond the reference's dense ViTs: selected blocks
+    replace the dense MLP with a top-k-routed expert bank. Expert weights
+    shard over the ``model`` mesh axis (expert parallelism)."""
+
+    enabled: bool = False
+    num_experts: int = 8
+    # experts consulted per token (1 = Switch, 2 = V-MoE default)
+    k: int = 2
+    # per-expert buffer = ceil(k · tokens · capacity_factor / num_experts);
+    # overflow tokens pass through the residual unchanged
+    capacity_factor: float = 1.25
+    # replace the MLP of every ``every``-th block (i % every == every-1:
+    # the V-MoE "every other, counting from the back" placement for
+    # every=2 on even depths); ``insert_at`` overrides with explicit indices
+    every: int = 2
+    insert_at: tuple | None = None
+    # renormalise the selected top-k gates to sum to 1
+    normalize_gates: bool = True
+    # auxiliary-loss weights (added to the objective by the Trainer)
+    aux_weight: float = 0.01
+    router_z_weight: float = 1e-3
+    extra: dict = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
 class ModelConfig:
     """Mirrors reference ``configs/baseline_config.yaml:21-32`` /
     ``src/models/vit.py:125-127`` defaults, plus the graph branch."""
@@ -179,6 +207,7 @@ class ModelConfig:
     # that otherwise OOM HBM (224px b192+, 384px large-batch)
     remat: bool = False
     graph: GraphConfig = field(default_factory=GraphConfig)
+    moe: MoEConfig = field(default_factory=MoEConfig)
     extra: dict = field(default_factory=dict)
 
     @property
@@ -200,6 +229,18 @@ class ModelConfig:
         return tuple(
             round((j + 1) * self.depth / (g.num_blocks + 1)) - 1
             for j in range(g.num_blocks)
+        )
+
+    def moe_sites(self) -> tuple:
+        """Transformer-block indices whose MLP is a mixture of experts."""
+        m = self.moe
+        if not m.enabled:
+            return ()
+        if m.insert_at is not None:
+            return tuple(int(i) % self.depth for i in m.insert_at)
+        every = max(1, int(m.every))
+        return tuple(
+            i for i in range(self.depth) if i % every == every - 1
         )
 
 
@@ -351,6 +392,7 @@ _FIELD_TYPES: dict = {}
 for _cls in (
     DataConfig,
     GraphConfig,
+    MoEConfig,
     ModelConfig,
     TrainingConfig,
     OptimizerConfig,
@@ -367,6 +409,7 @@ for _cls in (
         "tuple": tuple,
         "tuple | None": tuple,
         "GraphConfig": GraphConfig,
+        "MoEConfig": MoEConfig,
         "DataConfig": DataConfig,
         "ModelConfig": ModelConfig,
         "TrainingConfig": TrainingConfig,

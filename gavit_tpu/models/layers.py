@@ -454,6 +454,9 @@ class Block(nn.Module):
     # sequence parallelism: keep the residual stream token-sharded along
     # 'model' through the LN/dropout/residual segments (config mesh.sp)
     sp: bool = False
+    # non-None: this block's MLP is a mixture of experts (models/moe.py);
+    # expert weights shard over the 'model' mesh axis (expert parallelism)
+    moe: object = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, return_probs: bool = False):
@@ -487,11 +490,20 @@ class Block(nn.Module):
         x = residual(x, attn_out)
 
         h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
-        h = Mlp(
-            hidden_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
-            drop=self.drop, dtype=self.dtype, quant=self.quant,
-            impl=self.mlp_impl, name="mlp",
-        )(h.astype(self.dtype), deterministic)
+        if self.moe is not None:
+            from gavit_tpu.models.moe import MoEMlp
+
+            h = MoEMlp(
+                cfg=self.moe, hidden_dim=int(self.dim * self.mlp_ratio),
+                out_dim=self.dim, drop=self.drop, dtype=self.dtype,
+                name="moe",
+            )(h.astype(self.dtype), deterministic)
+        else:
+            h = Mlp(
+                hidden_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
+                drop=self.drop, dtype=self.dtype, quant=self.quant,
+                impl=self.mlp_impl, name="mlp",
+            )(h.astype(self.dtype), deterministic)
         x = residual(x, h)
         if return_probs:
             return x, probs

@@ -1,0 +1,212 @@
+"""Mixture-of-Experts MLP (V-MoE / Switch family), TPU-first.
+
+A new model family beyond the reference backbone (the reference ships dense
+ViT-S/B/L only, ``/root/reference/src/models/vit.py:125-127``): selected
+transformer blocks replace their dense MLP with ``MoEMlp`` — a learned
+router sends each token to its top-k experts, so parameter count scales with
+``num_experts`` while per-token FLOPs stay near the dense block's. This is
+the scaling recipe of V-MoE (PAPERS.md) rebuilt for XLA/TPU:
+
+* **Static shapes everywhere.** Expert capacity ``C = ceil(k·S·cf/E)`` is a
+  Python int from the (static) token count, dispatch/combine are dense
+  one-hot tensors contracted with einsums — no gather/scatter with
+  data-dependent sizes, nothing blocks XLA's MXU tiling. Tokens past an
+  expert's capacity are *dropped*: their MLP branch contributes exactly 0
+  and the block's residual passes them through unchanged (the V-MoE
+  behavior; the router learns to balance via the auxiliary loss).
+* **Expert parallelism is a sharding annotation.** Expert weights stack on
+  a leading ``E`` dim (``fc1_kernel [E, D, F]``) and shard over the
+  reserved ``model`` mesh axis (``parallel/tp.py::model_param_specs``);
+  the dispatched activations ``[B, E, C, D]`` are pinned expert-sharded by
+  ``ep_shard_constraint`` so GSPMD turns the dispatch/combine einsums into
+  the all-to-alls of expert parallelism over ICI — no manual collectives.
+* **fp32 router.** Routing probabilities, gate values, and the combine
+  contraction run in fp32 regardless of compute dtype (router saturation
+  in bf16 is the classic MoE instability); expert GEMMs run in the model's
+  compute dtype on the MXU.
+* **Load-balance + router-z auxiliary losses** are sown into the
+  ``moe_losses`` collection; the Trainer adds them to the objective when
+  the config enables MoE (weights ``model.moe.aux_weight`` /
+  ``router_z_weight``).
+
+Scope: dp / EP(=model axis) / fsdp compose; the pipeline/context-parallel
+trunks and token merging (``models/tome.py``) assume a homogeneous dense
+trunk and reject MoE configs explicitly. int8 serving quantises the dense
+GEMMs (QDense) and leaves expert GEMMs in bf16.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from gavit_tpu.config import MoEConfig
+
+trunc_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def _mm_precision(dtype):
+    if dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
+def expert_capacity(tokens: int, num_experts: int, k: int,
+                    capacity_factor: float) -> int:
+    """Static per-expert buffer size: ceil(k·S·cf / E), clamped to [1, S]."""
+    cap = int(np.ceil(k * tokens * capacity_factor / num_experts))
+    return max(1, min(cap, tokens))
+
+
+def router_dispatch(logits, k: int, capacity: int, *,
+                    normalize_gates: bool = True):
+    """Top-k token→expert assignment with static capacity.
+
+    Args:
+      logits: [G, S, E] router logits (any float dtype; promoted to fp32).
+    Returns:
+      combine:  [G, S, E, C] fp32 — combine[g,s,e,c] is token s's gate value
+        if it occupies expert e's slot c, else 0. ``dispatch = combine > 0``.
+      aux:      dict of scalar auxiliary losses: ``load_balance`` (Switch
+        eq. 4–6: E · Σ_e fraction_dispatched_e · mean_prob_e, k-scaled) and
+        ``router_z`` (mean logsumexp² — keeps logits from drifting).
+
+    Priority is choice-major (every token's first choice is placed before
+    any second choice), position within a choice is token order — the
+    standard deterministic tie-break, and XLA-friendly: one cumsum over a
+    [G, k·S, E] one-hot, no sorting.
+    """
+    g, s, e = logits.shape
+    logits = logits.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)                     # [g,s,e]
+    gate_vals, gate_idx = jax.lax.top_k(probs, k)               # [g,s,k]
+    if normalize_gates:
+        gate_vals = gate_vals / jnp.sum(gate_vals, -1, keepdims=True)
+    masks = jax.nn.one_hot(gate_idx, e, dtype=jnp.float32)      # [g,s,k,e]
+
+    # position of each (token, choice) in its expert's queue, choice-major
+    flat = jnp.transpose(masks, (0, 2, 1, 3)).reshape(g, k * s, e)
+    pos_flat = jnp.cumsum(flat, axis=1) - flat                  # [g,k*s,e]
+    pos = jnp.transpose(pos_flat.reshape(g, k, s, e), (0, 2, 1, 3))
+    keep = masks * (pos < capacity)                             # [g,s,k,e]
+    # dropped (token, choice) pairs land on slot 0 here, but their gate is
+    # zeroed by ``keep`` in ``gated`` below, so they contribute nothing
+    slot = jnp.sum(pos * keep, axis=-1).astype(jnp.int32)       # [g,s,k]
+    slot_oh = jax.nn.one_hot(slot, capacity, dtype=jnp.float32)  # [g,s,k,c]
+    gated = keep * gate_vals[..., None]                         # [g,s,k,e]
+    combine = jnp.einsum("gske,gskc->gsec", gated, slot_oh,
+                         precision=jax.lax.Precision.HIGHEST)
+
+    # Switch load-balance loss over the DISPATCHED top-1 fraction; scaled by
+    # E so a uniform router scores 1.0 independent of expert count.
+    frac = jnp.mean(masks[:, :, 0, :], axis=1)                  # [g,e]
+    mean_prob = jnp.mean(probs, axis=1)                         # [g,e]
+    load_balance = e * jnp.mean(jnp.sum(frac * mean_prob, axis=-1))
+    router_z = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
+    return combine, {"load_balance": load_balance, "router_z": router_z}
+
+
+def ep_shard_constraint(x, expert_dim: int = 1, axis: str = "model",
+                        batch_axis: str = "data"):
+    """Pin a dispatched-activation tensor expert-sharded under EP (no-op
+    otherwise — same ambient-abstract-mesh pattern as
+    ``parallel/op_sharding.py::head_shard_constraint``). The constraint on
+    the [B, E, C, D] buffers around the expert GEMMs is what makes GSPMD
+    lower the dispatch/combine einsums as all-to-alls instead of gathering
+    the expert weights."""
+    from jax.sharding import PartitionSpec as P
+
+    from gavit_tpu.parallel.op_sharding import tp_axis_in_context
+
+    if not tp_axis_in_context(axis):
+        return x
+    mesh = jax.sharding.get_abstract_mesh()
+    if x.shape[expert_dim] % mesh.shape[axis]:
+        return x  # indivisible expert count: replicated fallback is correct
+    entries = [None] * x.ndim
+    entries[expert_dim] = axis
+    if batch_axis in mesh.shape:
+        entries[0] = batch_axis
+    return jax.lax.with_sharding_constraint(x, P(*entries))
+
+
+class MoEMlp(nn.Module):
+    """Drop-in MoE replacement for ``models.layers.Mlp``.
+
+    Input/output [B, N, D]; each image's N tokens form one routing group
+    (capacity is per image — batch-size invariant, and the group dim shards
+    cleanly along 'data'). Sown scalars land in the ``moe_losses``
+    collection (a no-op unless the caller marks it mutable, so eval/serving
+    paths pay nothing).
+    """
+
+    cfg: MoEConfig
+    hidden_dim: int
+    out_dim: int
+    drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.cfg
+        g, s, d = x.shape
+        e, k = cfg.num_experts, cfg.k
+        prec = _mm_precision(self.dtype)
+        cap = expert_capacity(s, e, k, cfg.capacity_factor)
+
+        router = self.param("router", trunc_init, (d, e), jnp.float32)
+        logits = jnp.dot(x.astype(jnp.float32), router,
+                         precision=jax.lax.Precision.HIGHEST)
+        combine, aux = router_dispatch(
+            logits, k, cap, normalize_gates=cfg.normalize_gates)
+        self.sow("moe_losses", "aux",
+                 cfg.aux_weight * aux["load_balance"]
+                 + cfg.router_z_weight * aux["router_z"])
+
+        w1 = self.param("fc1_kernel", trunc_init, (e, d, self.hidden_dim),
+                        jnp.float32)
+        b1 = self.param("fc1_bias", nn.initializers.zeros_init(),
+                        (e, self.hidden_dim), jnp.float32)
+        w2 = self.param("fc2_kernel", trunc_init, (e, self.hidden_dim,
+                        self.out_dim), jnp.float32)
+        b2 = self.param("fc2_bias", nn.initializers.zeros_init(),
+                        (e, self.out_dim), jnp.float32)
+
+        dispatch = (combine > 0).astype(self.dtype)             # [g,s,e,c]
+        xd = jnp.einsum("gsec,gsd->gecd", dispatch, x.astype(self.dtype),
+                        precision=prec)
+        xd = ep_shard_constraint(xd)
+        h = jnp.einsum("gecd,edf->gecf", xd, w1.astype(self.dtype),
+                       precision=prec)
+        h = h + b1.astype(self.dtype)[None, :, None, :]
+        # exact erf whenever gradients flow; tanh on the deterministic bf16
+        # path — the same dispatch rule (and rationale) as the dense Mlp
+        approx = self.dtype == jnp.bfloat16 and deterministic
+        h = jax.nn.gelu(h, approximate=approx)
+        h = self._dropout(h, deterministic)
+        y = jnp.einsum("gecf,efd->gecd", h, w2.astype(self.dtype),
+                       precision=prec)
+        y = y + b2.astype(self.dtype)[None, :, None, :]
+        y = self._dropout(y, deterministic)
+        y = ep_shard_constraint(y)
+        out = jnp.einsum("gsec,gecd->gsd", combine,
+                         y.astype(jnp.float32),
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.astype(self.dtype)
+
+    def _dropout(self, x, deterministic):
+        if deterministic or self.drop == 0.0:
+            return x
+        keep = 1.0 - self.drop
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def moe_aux_loss(mutated_vars: dict) -> jax.Array:
+    """Sum every sown MoE auxiliary scalar (already config-weighted)."""
+    leaves = jax.tree.leaves(mutated_vars.get("moe_losses", {}))
+    if not leaves:
+        return jnp.float32(0.0)
+    return jnp.sum(jnp.stack([jnp.asarray(v, jnp.float32) for v in leaves]))

@@ -115,6 +115,12 @@ def tome_forward(cfg: ModelConfig, params, images, r: int,
             "[N, N] adjacency table has no meaning after merging) or "
             "graph.enabled=false"
         )
+    if cfg.moe.enabled:
+        raise ValueError(
+            "token merging supports the dense trunk only (MoE expert "
+            "capacity is sized to the unmerged token count); set "
+            "model.moe.enabled=false or tome_r=0"
+        )
     from gavit_tpu.models.layers import LN_EPS, Block, PatchEmbed, QDense
     from gavit_tpu.models.graph import GraphBlock
 

@@ -96,6 +96,7 @@ class VisionTransformer(nn.Module):
             x = seq_shard_constraint(x)
 
         graph_sites = set(cfg.graph_insert_after())
+        moe_sites = set(cfg.moe_sites())
         dpr = [
             cfg.drop_path_rate * i / max(cfg.depth - 1, 1) for i in range(cfg.depth)
         ]
@@ -120,6 +121,7 @@ class VisionTransformer(nn.Module):
                 attn_drop=cfg.attn_drop_rate, drop_path_rate=dpr[i],
                 dtype=self.dtype, attn_impl=self.attn_impl,
                 mlp_impl=self.mlp_impl, sp=self.sp,
+                moe=cfg.moe if i in moe_sites else None,
                 quant=self.quant, name=f"blocks_{i}",
             )(x, deterministic, capture == "attention")
             if capture == "attention":

@@ -119,6 +119,10 @@ def ctx_forward(mesh: Mesh, cfg: ModelConfig, params, images,
         raise ValueError("context-parallel trunk requires "
                          "graph.enabled=False (kNN adjacency is "
                          "token-global; use dp/tp)")
+    if cfg.moe.enabled:
+        raise ValueError("context-parallel trunk requires "
+                         "moe.enabled=False (routing groups are "
+                         "token-global; MoE scales via dp/EP)")
     S = mesh.shape["ctx"]
     pre = {k: params[k] for k in ("patch_embed", "cls_token", "pos_embed")}
     post = {k: params[k] for k in ("norm", "head")}

@@ -131,6 +131,10 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
     if cfg.graph.enabled:
         raise ValueError("pipeline trunk requires graph.enabled=False "
                          "(graph blocks interleave mid-trunk; use dp/tp)")
+    if cfg.moe.enabled:
+        raise ValueError("pipeline trunk requires moe.enabled=False "
+                         "(the stacked-layer scan needs a homogeneous "
+                         "block stack; MoE scales via dp/EP)")
     S = mesh.shape["pipe"]
     if cfg.depth % S:
         raise ValueError(f"depth {cfg.depth} not divisible by {S} stages")

@@ -50,6 +50,14 @@ def model_param_specs(params) -> dict:
             return P(None, "model") if name == "kernel" else P("model")
         if "mlp" in keys and "fc2" in keys and name == "kernel":
             return P("model", None)
+        if "moe" in keys and name != "router":
+            # expert parallelism: the expert bank's leading E dim shards
+            # over the same reserved axis (fc{1,2}_kernel [E, ·, ·],
+            # fc{1,2}_bias [E, ·]); the router stays replicated. The
+            # dispatched activations are pinned by
+            # models/moe.py::ep_shard_constraint, so GSPMD lowers the
+            # dispatch/combine einsums as all-to-alls over ICI.
+            return P(*(("model",) + (None,) * (jnp.ndim(leaf) - 1)))
         del joined, leaf
         return P()  # replicated
 

@@ -40,7 +40,9 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
         def mask_entry(path, leaf):
             keys = [getattr(p, "key", str(p)) for p in path]
             name = keys[-1] if keys else ""
-            if name in ("bias", "scale", "gate"):
+            if name in ("bias", "scale", "gate") or name.endswith("_bias"):
+                # *_bias covers the MoE expert banks' stacked biases
+                # ([E, F] — ndim 2, but still biases)
                 return False
             if any(k in ("cls_token", "pos_embed") for k in keys):
                 return False

@@ -123,6 +123,16 @@ class Trainer:
                     f"(was {getattr(model, 'mlp_impl', None)!r})"
                 )
                 self.model = model = model.clone(mlp_impl="xla")
+            moe = config.model.moe
+            if moe.enabled and moe.num_experts % self.mesh.shape["model"]:
+                # the EP specs shard the expert bank's leading dim over
+                # 'model' — an indivisible expert count would fail at
+                # device_put with an opaque GSPMD error; fail loudly here
+                raise ValueError(
+                    f"model.moe.num_experts={moe.num_experts} must be "
+                    f"divisible by the 'model' mesh axis "
+                    f"({self.mesh.shape['model']}) for expert parallelism"
+                )
             if config.mesh.sp and not getattr(model, "sp", False):
                 # sequence parallelism: token-shard the residual stream
                 # through the LN/dropout/residual segments (the constraint
@@ -251,19 +261,36 @@ class Trainer:
         )
 
         quant_vars = self._quant
+        moe_on = self.config.model.moe.enabled
 
         def grad_fn(params, x, labels, k_drop):
             def loss_fn(params):
-                logits = model.apply(
-                    {"params": params["model"], **quant_vars},
-                    x,
-                    deterministic=False,
-                    rngs={"dropout": k_drop},
-                )
+                if moe_on:
+                    # mutable collection so the MoE blocks' sown auxiliary
+                    # losses (load-balance + router-z, config-weighted at
+                    # the sow site) reach the objective
+                    from gavit_tpu.models.moe import moe_aux_loss
+
+                    logits, mvars = model.apply(
+                        {"params": params["model"], **quant_vars},
+                        x,
+                        deterministic=False,
+                        rngs={"dropout": k_drop},
+                        mutable=["moe_losses"],
+                    )
+                    aux = moe_aux_loss(mvars)
+                else:
+                    logits = model.apply(
+                        {"params": params["model"], **quant_vars},
+                        x,
+                        deterministic=False,
+                        rngs={"dropout": k_drop},
+                    )
+                    aux = 0.0
                 total, comps = dynamic_weighted_loss(
                     params["criterion"], logits, labels, pos_weight
                 )
-                return total, (logits, comps)
+                return total + aux, (logits, comps)
 
             return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
