@@ -228,6 +228,27 @@ def test_moe_guards():
             _trainer_bad_experts(pathlib.Path(td))
 
 
+def test_moe_predictor_bucket_padding_invariant():
+    """The serving path works on an MoE model, and bucket padding does not
+    perturb real rows — per-image routing groups make expert capacity
+    batch-size invariant."""
+    from gavit_tpu.serving import Predictor
+
+    cfg = from_dict({"model": {
+        "name": "custom", "img_size": 16, "patch_size": 8, "embed_dim": 32,
+        "depth": 4, "num_heads": 4, "num_classes": 14,
+        "moe": {"enabled": True, "num_experts": 4, "k": 2,
+                "capacity_factor": 1.5, "every": 2},
+    }, "data": {"image_size": 16}})
+    pred = Predictor(cfg, precision="fp32", buckets=(4, 8))
+    imgs = np.random.default_rng(7).integers(
+        0, 256, (8, 16, 16, 3), dtype=np.uint8)
+    full = pred.predict_proba(imgs)
+    part = pred.predict_proba(imgs[:5])          # padded 5 -> 8
+    assert full.shape == (8, 14) and ((full > 0) & (full < 1)).all()
+    np.testing.assert_allclose(part, full[:5], atol=1e-6)
+
+
 def test_example_moe_config_loads():
     import pathlib
 
