@@ -153,6 +153,9 @@ class MoEMlp(nn.Module):
         cfg = self.cfg
         g, s, d = x.shape
         e, k = cfg.num_experts, cfg.k
+        if k > e:
+            raise ValueError(
+                f"model.moe.k={k} cannot exceed num_experts={e}")
         prec = _mm_precision(self.dtype)
         cap = expert_capacity(s, e, k, cfg.capacity_factor)
 

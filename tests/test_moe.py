@@ -135,10 +135,11 @@ def _make_trainer(tmp_path, mesh_cfg, *, remat=False, accum=1):
 
 
 def test_moe_trainer_step_learns_router(tmp_path):
-    """One Trainer step (remat on, so sown aux losses thread the lifted
-    transform): finite loss, and the router + expert weights receive
-    gradient (the aux loss reaches the objective)."""
-    tr = _make_trainer(tmp_path, {"data": 8, "model": 1}, remat=True)
+    """Trainer steps under remat AND grad-accum (sown aux losses thread the
+    lifted transform and the scanned microbatches): finite loss, and the
+    router receives gradient (the aux loss reaches the objective)."""
+    tr = _make_trainer(tmp_path, {"data": 8, "model": 1}, remat=True,
+                       accum=2)
     images, labels = next(iter(tr.train_loader))
     batch = shard_batch(tr.mesh, (images, labels))
     before = np.asarray(tr.state.params["model"]["blocks_1"]["moe"]["router"])
