@@ -10,3 +10,8 @@ from gavit_tpu.models.mae import (  # noqa: F401
     export_reference_pth,
     mae_loss,
 )
+from gavit_tpu.models.moe import (  # noqa: F401
+    MoEMlp,
+    expert_capacity,
+    router_dispatch,
+)
