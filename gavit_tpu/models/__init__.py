@@ -14,4 +14,5 @@ from gavit_tpu.models.moe import (  # noqa: F401
     MoEMlp,
     expert_capacity,
     router_dispatch,
+    upcycle_params,
 )

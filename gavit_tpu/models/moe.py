@@ -207,6 +207,59 @@ class MoEMlp(nn.Module):
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
+def upcycle_params(dense_params: dict, moe_params: dict,
+                   model_cfg) -> dict:
+    """Sparse upcycling (Komatsuzaki et al., PAPERS.md family): initialise
+    an MoE param tree from a TRAINED dense tree.
+
+    For every MoE site, each expert starts as a copy of the dense block's
+    MLP (`fc1`/`fc2` tiled onto the leading E dim) and the router starts at
+    zero — uniform routing. All non-MoE leaves copy from the dense tree
+    verbatim, so the upcycled model continues training from the dense
+    model's function: with ``normalize_gates`` (default) and
+    ``capacity_factor >= num_experts / k`` (no token ever dropped under a
+    uniform router), the upcycled forward is EXACTLY the dense forward —
+    pinned by ``tests/test_moe.py::test_upcycled_moe_equals_dense``. With a
+    smaller capacity factor the equality is approximate until the router
+    differentiates.
+
+    Args:
+      dense_params: param tree of the dense model (same cfg, moe disabled).
+      moe_params:   freshly initialised param tree of the MoE model
+                    (provides the target structure/shapes).
+      model_cfg:    the MoE ``ModelConfig`` (for the site list).
+    Returns a new param tree with the MoE model's structure.
+    """
+    e = model_cfg.moe.num_experts
+    sites = set(model_cfg.moe_sites())
+
+    def copy_matching(dst: dict, src: dict) -> dict:
+        res = {}
+        for key, val in dst.items():
+            if key in src and isinstance(val, dict):
+                res[key] = copy_matching(val, src[key])
+            elif key in src and jnp.shape(val) == jnp.shape(src[key]):
+                res[key] = src[key]
+            else:
+                res[key] = val
+        return res
+
+    out = copy_matching(moe_params, dense_params)
+    for i in sites:
+        blk = dict(out[f"blocks_{i}"])
+        dense_mlp = dense_params[f"blocks_{i}"]["mlp"]
+        tile = lambda a: jnp.tile(a[None], (e,) + (1,) * jnp.ndim(a))
+        blk["moe"] = {
+            "router": jnp.zeros_like(blk["moe"]["router"]),
+            "fc1_kernel": tile(dense_mlp["fc1"]["kernel"]),
+            "fc1_bias": tile(dense_mlp["fc1"]["bias"]),
+            "fc2_kernel": tile(dense_mlp["fc2"]["kernel"]),
+            "fc2_bias": tile(dense_mlp["fc2"]["bias"]),
+        }
+        out[f"blocks_{i}"] = blk
+    return out
+
+
 def moe_aux_loss(mutated_vars: dict) -> jax.Array:
     """Sum every sown MoE auxiliary scalar (already config-weighted)."""
     leaves = jax.tree.leaves(mutated_vars.get("moe_losses", {}))

@@ -250,6 +250,37 @@ def test_moe_predictor_bucket_padding_invariant():
     np.testing.assert_allclose(part, full[:5], atol=1e-6)
 
 
+def test_upcycled_moe_equals_dense():
+    """Sparse upcycling: an MoE model initialised from a trained dense tree
+    (experts = copies of the dense MLP, zero router) reproduces the dense
+    forward exactly when capacity_factor >= E/k (uniform routing drops
+    nothing), and continues training from that function."""
+    import dataclasses
+
+    from gavit_tpu.models.moe import upcycle_params
+
+    moe_cfg = _moe_model_cfg(num_experts=4, k=2, capacity_factor=2.0)
+    dense_cfg = dataclasses.replace(
+        moe_cfg.model, moe=MoEConfig(enabled=False))
+
+    dense_model = build_model(dense_cfg, precision="fp32")
+    dense_params = init_params(dense_model, jax.random.key(0))
+    moe_model = build_model(moe_cfg.model, precision="fp32")
+    moe_init = init_params(moe_model, jax.random.key(1))
+
+    up = upcycle_params(dense_params, moe_init, moe_cfg.model)
+    # non-MoE leaves copied from the dense tree verbatim
+    np.testing.assert_array_equal(
+        np.asarray(up["blocks_0"]["mlp"]["fc1"]["kernel"]),
+        np.asarray(dense_params["blocks_0"]["mlp"]["fc1"]["kernel"]))
+    assert float(jnp.abs(up["blocks_1"]["moe"]["router"]).max()) == 0.0
+
+    x = jax.random.normal(jax.random.key(2), (4, 16, 16, 3))
+    ref = dense_model.apply({"params": dense_params}, x, deterministic=True)
+    out = moe_model.apply({"params": up}, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_example_moe_config_loads():
     import pathlib
 
