@@ -290,6 +290,10 @@ class Trainer:
                 total, comps = dynamic_weighted_loss(
                     params["criterion"], logits, labels, pos_weight
                 )
+                if moe_on:
+                    # surface the (config-weighted) MoE auxiliary loss in
+                    # the step metrics alongside the criterion components
+                    comps = {**comps, "moe_aux": aux}
                 return total + aux, (logits, comps)
 
             return jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -579,6 +583,10 @@ class Trainer:
                 np.mean([m[src] for m in losses])
             )
         metrics["loss"] = metrics["loss_total"]
+        if losses and "moe_aux" in losses[0]:
+            metrics["loss_moe_aux"] = float(
+                np.mean([m["moe_aux"] for m in losses])
+            )
         metrics["images_per_sec"] = n_images / max(elapsed, 1e-9)
         return metrics
 
@@ -781,6 +789,9 @@ class Trainer:
                     "train/images_per_sec": train_metrics["images_per_sec"],
                     "learning_rate": lr,
                 }
+                if "loss_moe_aux" in train_metrics:
+                    epoch_log["train/loss_moe_aux"] = (
+                        train_metrics["loss_moe_aux"])
                 if val_metrics is not None:
                     epoch_log["val/loss"] = val_metrics["loss"]
                     epoch_log["val/mean_auc"] = val_metrics["mean_auc"]

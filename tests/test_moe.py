@@ -150,6 +150,9 @@ def test_moe_trainer_step_learns_router(tmp_path):
     assert np.isfinite(float(metrics["loss"]))
     after = np.asarray(state.params["model"]["blocks_1"]["moe"]["router"])
     assert np.abs(after - before).max() > 0.0
+    # the (weighted) aux loss is surfaced in the step metrics
+    assert "moe_aux" in metrics and np.isfinite(float(metrics["moe_aux"]))
+    assert float(metrics["moe_aux"]) > 0.0
 
 
 def test_ep_specs_and_forward_matches_single_device():
@@ -248,6 +251,32 @@ def test_moe_predictor_bucket_padding_invariant():
     part = pred.predict_proba(imgs[:5])          # padded 5 -> 8
     assert full.shape == (8, 14) and ((full > 0) & (full < 1)).all()
     np.testing.assert_allclose(part, full[:5], atol=1e-6)
+
+
+def test_moe_int8_serving_composition():
+    """Static-int8 serving on an MoE model: the dense GEMMs (patch embed,
+    qkv/proj, dense-block MLPs, head) quantise after calibration while the
+    expert GEMMs stay in the compute dtype — the composition serves."""
+    from gavit_tpu.serving import Predictor
+
+    cfg = from_dict({"model": {
+        "name": "custom", "img_size": 16, "patch_size": 8, "embed_dim": 32,
+        "depth": 4, "num_heads": 4, "num_classes": 14,
+        "moe": {"enabled": True, "num_experts": 4, "k": 2,
+                "capacity_factor": 1.5, "every": 2},
+    }, "data": {"image_size": 16}})
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (8, 16, 16, 3), dtype=np.uint8)
+
+    fp = Predictor(cfg, precision="fp32", buckets=(8,))
+    q = Predictor(cfg, precision="int8", buckets=(8,),
+                  params=fp.params)
+    q.calibrate(imgs)
+    probs = q.predict_proba(imgs)
+    ref = fp.predict_proba(imgs)
+    assert probs.shape == (8, 14) and np.isfinite(probs).all()
+    # int8 noise on the dense GEMMs only — probabilities stay close
+    assert np.abs(probs - ref).max() < 0.1
 
 
 def test_upcycled_moe_equals_dense():
