@@ -209,6 +209,40 @@ def test_ep_trainer_step_matches_dp(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_moe_fsdp_ep_composition_matches_dp(tmp_path):
+    """dp2×ep4 + ZeRO-3 FSDP on an MoE model reproduces the dp-only
+    update, with the expert bank sharded on BOTH axes (E over 'model',
+    a free dim over 'data')."""
+    from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
+
+    images, labels = next(iter(DataLoader(
+        SyntheticChestXrayDataset(size=16, image_size=16, seed=0), 16,
+        num_workers=0,
+    )))
+    results = {}
+    for name, mesh_cfg in [
+        ("dp", {"data": 8, "model": 1}),
+        ("fsdp_ep", {"data": 2, "model": 4, "fsdp": True,
+                     "fsdp_min_size": 512}),
+    ]:
+        tr = _make_trainer(tmp_path / name, mesh_cfg)
+        batch = shard_batch(tr.mesh, (images, labels))
+        state, metrics, _ = tr._train_step(tr.state, tr.base_rng, *batch)
+        results[name] = (state, float(metrics["loss"]))
+
+    fe_state, fe_loss = results["fsdp_ep"]
+    dp_state, dp_loss = results["dp"]
+    np.testing.assert_allclose(fe_loss, dp_loss, atol=1e-5)
+    bank = fe_state.params["model"]["blocks_1"]["moe"]["fc1_kernel"]
+    spec = str(bank.sharding.spec)
+    assert "model" in spec and "data" in spec, spec
+    assert bank.addressable_shards[0].data.size == bank.size // 8
+    np.testing.assert_allclose(
+        np.asarray(bank),
+        np.asarray(dp_state.params["model"]["blocks_1"]["moe"]["fc1_kernel"]),
+        atol=5e-5)
+
+
 def test_moe_guards():
     from gavit_tpu.models.tome import tome_forward
     from gavit_tpu.parallel.pp import make_pipe_mesh, pipeline_apply
