@@ -166,8 +166,17 @@ class MoEConfig:
     num_experts: int = 8
     # experts consulted per token (1 = Switch, 2 = V-MoE default)
     k: int = 2
+    # execution engine:
+    #  'dense'   — static-capacity one-hot dispatch (V-MoE semantics:
+    #              overflow tokens are dropped); required for expert
+    #              parallelism (mesh.model > 1).
+    #  'grouped' — dropless MegaBlocks-style ragged expert GEMMs
+    #              (ops/moe_grouped.py): no capacity, no dropped tokens,
+    #              no dispatch/combine one-hot GEMMs; dp/fsdp meshes only.
+    impl: str = "dense"
     # per-expert buffer = ceil(k · tokens · capacity_factor / num_experts);
-    # overflow tokens pass through the residual unchanged
+    # overflow tokens pass through the residual unchanged ('dense' impl
+    # only — 'grouped' is dropless and ignores this)
     capacity_factor: float = 1.25
     # replace the MLP of every ``every``-th block (i % every == every-1:
     # the V-MoE "every other, counting from the back" placement for

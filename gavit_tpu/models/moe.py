@@ -60,6 +60,33 @@ def expert_capacity(tokens: int, num_experts: int, k: int,
     return max(1, min(cap, tokens))
 
 
+def router_topk(logits, k: int, *, normalize_gates: bool = True):
+    """fp32 softmax-top-k routing + the auxiliary losses.
+
+    Args:
+      logits: [G, S, E] router logits (any float dtype; promoted to fp32).
+    Returns:
+      gate_vals: [G, S, k] fp32 gates (renormalised when requested).
+      gate_idx:  [G, S, k] int32 expert choices.
+      aux:       dict of scalar auxiliary losses: ``load_balance`` (Switch
+        eq. 4–6: E · Σ_e fraction_dispatched_e · mean_prob_e) and
+        ``router_z`` (mean logsumexp² — keeps logits from drifting).
+    """
+    e = logits.shape[-1]
+    logits = logits.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)                     # [g,s,e]
+    gate_vals, gate_idx = jax.lax.top_k(probs, k)               # [g,s,k]
+    if normalize_gates:
+        gate_vals = gate_vals / jnp.sum(gate_vals, -1, keepdims=True)
+    top1 = jax.nn.one_hot(gate_idx[..., 0], e, dtype=jnp.float32)
+    frac = jnp.mean(top1, axis=1)                               # [g,e]
+    mean_prob = jnp.mean(probs, axis=1)                         # [g,e]
+    load_balance = e * jnp.mean(jnp.sum(frac * mean_prob, axis=-1))
+    router_z = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
+    aux = {"load_balance": load_balance, "router_z": router_z}
+    return gate_vals, gate_idx.astype(jnp.int32), aux
+
+
 def router_dispatch(logits, k: int, capacity: int, *,
                     normalize_gates: bool = True):
     """Top-k token→expert assignment with static capacity.
@@ -69,9 +96,7 @@ def router_dispatch(logits, k: int, capacity: int, *,
     Returns:
       combine:  [G, S, E, C] fp32 — combine[g,s,e,c] is token s's gate value
         if it occupies expert e's slot c, else 0. ``dispatch = combine > 0``.
-      aux:      dict of scalar auxiliary losses: ``load_balance`` (Switch
-        eq. 4–6: E · Σ_e fraction_dispatched_e · mean_prob_e, k-scaled) and
-        ``router_z`` (mean logsumexp² — keeps logits from drifting).
+      aux:      dict of scalar auxiliary losses (see :func:`router_topk`).
 
     Priority is choice-major (every token's first choice is placed before
     any second choice), position within a choice is token order — the
@@ -79,11 +104,8 @@ def router_dispatch(logits, k: int, capacity: int, *,
     [G, k·S, E] one-hot, no sorting.
     """
     g, s, e = logits.shape
-    logits = logits.astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)                     # [g,s,e]
-    gate_vals, gate_idx = jax.lax.top_k(probs, k)               # [g,s,k]
-    if normalize_gates:
-        gate_vals = gate_vals / jnp.sum(gate_vals, -1, keepdims=True)
+    gate_vals, gate_idx, aux = router_topk(
+        logits, k, normalize_gates=normalize_gates)
     masks = jax.nn.one_hot(gate_idx, e, dtype=jnp.float32)      # [g,s,k,e]
 
     # position of each (token, choice) in its expert's queue, choice-major
@@ -98,14 +120,7 @@ def router_dispatch(logits, k: int, capacity: int, *,
     gated = keep * gate_vals[..., None]                         # [g,s,k,e]
     combine = jnp.einsum("gske,gskc->gsec", gated, slot_oh,
                          precision=jax.lax.Precision.HIGHEST)
-
-    # Switch load-balance loss over the DISPATCHED top-1 fraction; scaled by
-    # E so a uniform router scores 1.0 independent of expert count.
-    frac = jnp.mean(masks[:, :, 0, :], axis=1)                  # [g,e]
-    mean_prob = jnp.mean(probs, axis=1)                         # [g,e]
-    load_balance = e * jnp.mean(jnp.sum(frac * mean_prob, axis=-1))
-    router_z = jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
-    return combine, {"load_balance": load_balance, "router_z": router_z}
+    return combine, aux
 
 
 def ep_shard_constraint(x, expert_dim: int = 1, axis: str = "model",
@@ -162,11 +177,6 @@ class MoEMlp(nn.Module):
         router = self.param("router", trunc_init, (d, e), jnp.float32)
         logits = jnp.dot(x.astype(jnp.float32), router,
                          precision=jax.lax.Precision.HIGHEST)
-        combine, aux = router_dispatch(
-            logits, k, cap, normalize_gates=cfg.normalize_gates)
-        self.sow("moe_losses", "aux",
-                 cfg.aux_weight * aux["load_balance"]
-                 + cfg.router_z_weight * aux["router_z"])
 
         w1 = self.param("fc1_kernel", trunc_init, (e, d, self.hidden_dim),
                         jnp.float32)
@@ -177,6 +187,47 @@ class MoEMlp(nn.Module):
         b2 = self.param("fc2_bias", nn.initializers.zeros_init(),
                         (e, self.out_dim), jnp.float32)
 
+        # exact erf whenever gradients flow; tanh on the deterministic bf16
+        # path — the same dispatch rule (and rationale) as the dense Mlp
+        approx = self.dtype == jnp.bfloat16 and deterministic
+
+        if cfg.impl == "grouped":
+            # dropless grouped-GEMM execution (ops/moe_grouped.py): no
+            # capacity, ragged expert GEMMs over exactly the routed rows.
+            # Expert parallelism needs the static dense buffers — enforced
+            # at Trainer build and again here at the dispatch site.
+            from gavit_tpu.parallel.op_sharding import tp_axis_in_context
+
+            if tp_axis_in_context("model"):
+                raise ValueError(
+                    "model.moe.impl='grouped' does not compose with a >1 "
+                    "'model' mesh axis (expert/tensor parallelism needs the "
+                    "dense static-capacity path); set model.moe.impl='dense'"
+                )
+            from gavit_tpu.ops.moe_grouped import sharded_grouped_moe
+
+            gate_vals, gate_idx, aux = router_topk(
+                logits, k, normalize_gates=cfg.normalize_gates)
+            self.sow("moe_losses", "aux",
+                     cfg.aux_weight * aux["load_balance"]
+                     + cfg.router_z_weight * aux["router_z"])
+            use_drop = not deterministic and self.drop > 0.0
+            key = (self.make_rng("dropout") if use_drop
+                   else jax.random.PRNGKey(0))
+            out = sharded_grouped_moe(
+                x.astype(self.dtype), gate_vals, gate_idx,
+                w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype), key,
+                drop=self.drop, deterministic=deterministic,
+                approx_gelu=approx)
+            return out.astype(self.dtype)
+
+        combine, aux = router_dispatch(
+            logits, k, cap, normalize_gates=cfg.normalize_gates)
+        self.sow("moe_losses", "aux",
+                 cfg.aux_weight * aux["load_balance"]
+                 + cfg.router_z_weight * aux["router_z"])
+
         dispatch = (combine > 0).astype(self.dtype)             # [g,s,e,c]
         xd = jnp.einsum("gsec,gsd->gecd", dispatch, x.astype(self.dtype),
                         precision=prec)
@@ -184,9 +235,6 @@ class MoEMlp(nn.Module):
         h = jnp.einsum("gecd,edf->gecf", xd, w1.astype(self.dtype),
                        precision=prec)
         h = h + b1.astype(self.dtype)[None, :, None, :]
-        # exact erf whenever gradients flow; tanh on the deterministic bf16
-        # path — the same dispatch rule (and rationale) as the dense Mlp
-        approx = self.dtype == jnp.bfloat16 and deterministic
         h = jax.nn.gelu(h, approximate=approx)
         h = self._dropout(h, deterministic)
         y = jnp.einsum("gecf,efd->gecd", h, w2.astype(self.dtype),

@@ -133,6 +133,13 @@ class Trainer:
                     f"divisible by the 'model' mesh axis "
                     f"({self.mesh.shape['model']}) for expert parallelism"
                 )
+            if moe.enabled and moe.impl == "grouped":
+                raise ValueError(
+                    "model.moe.impl='grouped' (dropless ragged GEMMs) does "
+                    "not compose with a >1 'model' mesh axis — expert "
+                    "parallelism needs the dense static-capacity buffers; "
+                    "set model.moe.impl='dense' or mesh.model=1"
+                )
             if config.mesh.sp and not getattr(model, "sp", False):
                 # sequence parallelism: token-shard the residual stream
                 # through the LN/dropout/residual segments (the constraint
@@ -234,8 +241,16 @@ class Trainer:
         parallelism, so bare-PartitionSpec sharding constraints in the model
         (Attention's head pinning, op_sharding.py) resolve against the
         trainer's mesh. Identity under data-only meshes — the dp fast path
-        is untouched."""
-        if self.mesh.shape.get("model", 1) <= 1:
+        is untouched — except for grouped MoE, whose shard_map over the
+        data axis (ops/moe_grouped.py::sharded_grouped_moe) also resolves
+        against the ambient mesh; every other dp op gates on 'model' > 1
+        and stays a no-op under the context."""
+        moe = self.config.model.moe
+        grouped_dp = (
+            moe.enabled and moe.impl == "grouped"
+            and self.mesh.shape.get("data", 1) > 1
+        )
+        if self.mesh.shape.get("model", 1) <= 1 and not grouped_dp:
             return fn
         mesh = self.mesh
 

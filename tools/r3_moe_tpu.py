@@ -10,11 +10,16 @@ than dense at equal token count — the family exists for quality-per-FLOP
 at scale (8× MLP params in 6 blocks for ~1 dense block's extra compute);
 this records what the dial costs on one chip.
 
+``--impl grouped`` measures the dropless grouped-GEMM engine
+(ops/moe_grouped.py) instead; ``GAVIT_MOE_MATMUL=ragged_dot|megablox``
+selects its ragged-matmul backend.
+
 Run detached: nohup python tools/r3_moe_tpu.py >> logs/r3_moe_tpu.log 2>&1 &
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -32,6 +37,10 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impl", default="dense",
+                    choices=["dense", "grouped"])
+    args = ap.parse_args()
     import gavit_tpu
 
     gavit_tpu.setup_compilation_cache()
@@ -56,7 +65,8 @@ def main():
             "graph": {"enabled": True, "num_blocks": 2, "adjacency": "knn",
                       "k": 8 if on_tpu else 3, "dynamic": True},
             "moe": {"enabled": True, "num_experts": 8, "k": 2,
-                    "capacity_factor": 1.25, "every": 2},
+                    "capacity_factor": 1.25, "every": 2,
+                    "impl": args.impl},
         },
         "data": {"batch_size": train_batch, "image_size": img},
         "training": {"epochs": 10, "warmup_epochs": 1,
@@ -65,9 +75,13 @@ def main():
     model = build_model(cfg.model, precision=cfg.training.precision)
     params = init_params(model, jax.random.key(0))
     n_params = sum(x.size for x in jax.tree.leaves(params))
-    print(f"moe bench: {name} E=8 k=2 every=2 img={img} b{train_batch} "
-          f"params={n_params / 1e6:.1f}M backend={jax.default_backend()}",
-          flush=True)
+    from gavit_tpu.ops.moe_grouped import resolve_matmul_impl
+
+    detail = (f" matmul={resolve_matmul_impl()}"
+              if args.impl == "grouped" else "")
+    print(f"moe bench: {name} impl={args.impl}{detail} E=8 k=2 every=2 "
+          f"img={img} b{train_batch} params={n_params / 1e6:.1f}M "
+          f"backend={jax.default_backend()}", flush=True)
 
     mesh = make_mesh(cfg.mesh)
     rng = np.random.default_rng(0)
