@@ -185,6 +185,12 @@ class MoEConfig:
     insert_at: tuple | None = None
     # renormalise the selected top-k gates to sum to 1
     normalize_gates: bool = True
+    # rematerialise the grouped engine's expert computation in the backward
+    # ('grouped' impl only): the [T, hidden] ragged-GEMM residuals never
+    # persist between forward and backward, closing the ~1.2 GiB temp gap
+    # that OOM'd ViT-B b128 E=8 on a 16 GiB chip (logs/r3_moe_mem.log), at
+    # the cost of re-running the expert GEMMs once in the backward
+    grouped_remat: bool = True
     # auxiliary-loss weights (added to the objective by the Trainer)
     aux_weight: float = 0.01
     router_z_weight: float = 1e-3

@@ -37,6 +37,8 @@ GEMMs (QDense) and leaves expert GEMMs in bf16.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -214,12 +216,21 @@ class MoEMlp(nn.Module):
             use_drop = not deterministic and self.drop > 0.0
             key = (self.make_rng("dropout") if use_drop
                    else jax.random.PRNGKey(0))
-            out = sharded_grouped_moe(
-                x.astype(self.dtype), gate_vals, gate_idx,
-                w1.astype(self.dtype), b1.astype(self.dtype),
-                w2.astype(self.dtype), b2.astype(self.dtype), key,
+            fn = functools.partial(
+                sharded_grouped_moe,
                 drop=self.drop, deterministic=deterministic,
                 approx_gelu=approx)
+            if cfg.grouped_remat and not deterministic:
+                # the [T, hidden] ragged-GEMM residuals dominate the grouped
+                # engine's footprint (+1.2 GiB over dense at ViT-B b128 E=8,
+                # logs/r3_moe_mem.log — an OOM on a 16 GiB chip); recompute
+                # them in the backward instead of storing them. Dropout
+                # masks regenerate identically from the same key.
+                fn = jax.checkpoint(fn)
+            out = fn(
+                x.astype(self.dtype), gate_vals, gate_idx,
+                w1.astype(self.dtype), b1.astype(self.dtype),
+                w2.astype(self.dtype), b2.astype(self.dtype), key)
             return out.astype(self.dtype)
 
         combine, aux = router_dispatch(

@@ -41,6 +41,10 @@ def probe(impl: str, matmul: str | None, batch: int) -> None:
 
     if matmul:
         os.environ["GAVIT_MOE_MATMUL"] = matmul
+    else:
+        # a previous spec's backend must not leak into this one's
+        # documented 'auto' resolution
+        os.environ.pop("GAVIT_MOE_MATMUL", None)
     on_tpu = jax.default_backend() == "tpu"
     img = 224 if on_tpu else 32
     cfg = from_dict({
@@ -69,8 +73,18 @@ def probe(impl: str, matmul: str | None, batch: int) -> None:
     labels = (rng.random((batch, 14)) < 0.2).astype(np.float32)
     images, labels = shard_batch(mesh, (images, labels))
 
-    lowered = trainer._train_step.lower(trainer.state, trainer.base_rng,
-                                        images, labels)
+    # Trainer._in_mesh wraps the jit in a plain function (no .lower) on
+    # multi-device meshes and for grouped-dp — lower the underlying jit
+    # inside the same mesh context the wrapper would enter. (A bare jit
+    # also has __wrapped__ — the raw Python fn — so key on .lower.)
+    step = trainer._train_step
+    if hasattr(step, "lower"):
+        lowered = step.lower(trainer.state, trainer.base_rng,
+                             images, labels)
+    else:
+        with jax.set_mesh(trainer.mesh):
+            lowered = step.__wrapped__.lower(trainer.state, trainer.base_rng,
+                                             images, labels)
     mem = lowered.compile().memory_analysis()
     gib = 1 << 30
     tag = f"{impl}" + (f"/{matmul}" if matmul else "")
