@@ -222,13 +222,15 @@ class Mlp(nn.Module):
         from gavit_tpu.ops.mlp import pick_block
         from gavit_tpu.parallel.op_sharding import tp_axis_in_context
 
+        tp = tp_axis_in_context("model")
         if (not self.quant and x.ndim == 3
                 and self.impl in ("auto", "pallas")
-                # under TP the megakernel's partitioning rule declares the
-                # Megatron-sharded fc1/fc2 weights replicated — GSPMD would
-                # all-gather them per layer per call; take the XLA chain
-                # (same guard at every entry point: trainer, eval, serving)
-                and not tp_axis_in_context("model")
+                # TP inference stays on the XLA chain (GSPMD Megatron); TP
+                # TRAINING keeps the megakernel — the 'f' factor rule in
+                # ops/mlp.py runs it on each chip's hidden shard with the
+                # row-parallel psum after fc2, bias2 + out-dropout applied
+                # post-reduce below
+                and not (tp and deterministic)
                 and pick_block(x.shape[0] * x.shape[1], x.shape[-1],
                                self.hidden_dim,
                                jnp.dtype(self.dtype).itemsize) is not None):
@@ -259,6 +261,16 @@ class Mlp(nn.Module):
             import os
 
             seed = dropout_seed(self.make_rng("dropout"))
+            if tp:
+                # Megatron TP: each chip runs the kernel on its hidden
+                # shard (out_rate=0, no bias2 — both must follow the
+                # row-parallel psum). GSPMD inserts the psum from the 'f'
+                # contraction; bias + the trailing dropout site apply to
+                # the reduced output, identically on every model shard.
+                y = fused_mlp(*args[:4], jnp.zeros_like(args[4]), seed,
+                              self.drop, 0.0, False)
+                y = y + args[4]
+                return FusedDropout(self.drop)(y, deterministic=deterministic)
             # the reference MLP's trailing dropout site (vit.py:92-93) is
             # folded into the same kernel pass as out_rate
             fold = os.environ.get("GAVIT_MLP_FOLD_OUT", "1") == "1"

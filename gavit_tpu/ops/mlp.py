@@ -112,7 +112,8 @@ def _fchunks(f: int) -> int:
 
 
 def _mlp_fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                    y_ref, h1_ref, *, rate: float, out_rate: float):
+                    y_ref, h1_ref, *, rate: float, out_rate: float,
+                    add_bias2: bool = True):
     prec = _prec(x_ref.dtype)
     x = x_ref[...]
     f = w1_ref.shape[1]
@@ -126,9 +127,14 @@ def _mlp_fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         _mask((x.shape[0], w2_ref.shape[1]), out_rate)
         if out_rate > 0.0 else None
     )
-    y = b2_ref[...].astype(jnp.float32) * jnp.ones(
-        (x.shape[0], 1), jnp.float32
-    )
+    # under Megatron TP (f-sharded) each shard's y is a partial sum; the
+    # bias is added once, after the psum, by the caller (add_bias2=False)
+    if add_bias2:
+        y = b2_ref[...].astype(jnp.float32) * jnp.ones(
+            (x.shape[0], 1), jnp.float32
+        )
+    else:
+        y = jnp.zeros((x.shape[0], w2_ref.shape[1]), jnp.float32)
     for j in range(nchunks):
         sl = slice(j * fc, (j + 1) * fc)
         h1 = jax.lax.dot_general(
@@ -208,11 +214,12 @@ def _row_spec(bm, cols):
                         memory_space=pltpu.VMEM)
 
 
-def _run_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate, bm):
+def _run_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate, bm, add_bias2=True):
     m, d = x2.shape
     f = w1.shape[1]
     y, h1 = pl.pallas_call(
-        functools.partial(_mlp_fwd_kernel, rate=rate, out_rate=out_rate),
+        functools.partial(_mlp_fwd_kernel, rate=rate, out_rate=out_rate,
+                          add_bias2=add_bias2),
         grid=(m // bm,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -340,7 +347,7 @@ def _fallback_mask(seed, shape, rate, site=0):
     return jax.random.bernoulli(key, 1.0 - rate, shape)
 
 
-def _fallback_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate):
+def _fallback_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate, add_bias2=True):
     prec = _prec(x2.dtype)
     h1 = (jnp.dot(x2, w1, preferred_element_type=jnp.float32, precision=prec)
           + b1).astype(x2.dtype)
@@ -348,8 +355,10 @@ def _fallback_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate):
     if rate > 0.0:
         keep = _fallback_mask(seed, g.shape, rate)
         g = jnp.where(keep, g * (1.0 / (1.0 - rate)), 0.0)
-    y = (jnp.dot(g.astype(x2.dtype), w2, preferred_element_type=jnp.float32,
-                 precision=prec) + b2)
+    y = jnp.dot(g.astype(x2.dtype), w2, preferred_element_type=jnp.float32,
+                precision=prec)
+    if add_bias2:
+        y = y + b2
     if out_rate > 0.0:
         keep2 = _fallback_mask(seed, y.shape, out_rate, site=1)
         y = jnp.where(keep2, y * (1.0 / (1.0 - out_rate)), 0.0)
@@ -384,8 +393,9 @@ def _fallback_bwd(dy2, h1, w2, seed, rate, out_rate):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def fused_mlp(x, w1, b1, w2, b2, seed, rate: float, out_rate: float = 0.0):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_mlp(x, w1, b1, w2, b2, seed, rate: float, out_rate: float = 0.0,
+              add_bias2: bool = True):
     """out_dropout(dropout(GELU_exact(x·W1 + b1))·W2 + b2) with the hidden
     activations never leaving VMEM.
 
@@ -396,22 +406,27 @@ def fused_mlp(x, w1, b1, w2, b2, seed, rate: float, out_rate: float = 0.0):
       rate: static hidden dropout rate (0.0 → no PRNG use).
       out_rate: static OUTPUT dropout rate — folds the reference MLP's
         trailing dropout site (``vit.py:92-93``) into the same pass.
+      add_bias2: static. False under Megatron TP, where each f-shard's
+        output is a partial sum and the bias must be added once AFTER the
+        psum (by the caller); b2's returned cotangent is then zero — the
+        real bias grad flows through the caller's external add.
     Returns:
       [B, N, D] output. Backward regenerates both dropout masks from the
       seed (never stored) and recomputes the dropped activations for dW2.
     """
-    y, _ = _fused_mlp_fwd(x, w1, b1, w2, b2, seed, rate, out_rate)
+    y, _ = _fused_mlp_fwd(x, w1, b1, w2, b2, seed, rate, out_rate, add_bias2)
     return y
 
 
-def _mlp_fwd_impl(x2, w1, b1, w2, b2, seed, rate, out_rate):
+def _mlp_fwd_impl(x2, w1, b1, w2, b2, seed, rate, out_rate, add_bias2=True):
     """Shard-local forward: block selection runs on the LOCAL row count
     (under a data-sharded mesh each chip sees its own rows), falling back to
     the unfused XLA chain when no clean block divides them."""
     bm = pick_block(x2.shape[0], w1.shape[0], w1.shape[1], x2.dtype.itemsize)
     if bm is None:
-        return _fallback_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate)
-    return _run_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate, bm)
+        return _fallback_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate,
+                             add_bias2)
+    return _run_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate, bm, add_bias2)
 
 
 def _mlp_bwd_impl(dy2, h1, w2, seed, rate, out_rate):
@@ -427,47 +442,58 @@ def _mlp_bwd_impl(dy2, h1, w2, seed, rate, out_rate):
 
 
 @functools.lru_cache(maxsize=None)
-def _mlp_fwd_cp(rate, out_rate):
-    # batch-local under a data-sharded mesh; weights replicated operands
-    # (or all-gathered by GSPMD under FSDP). Seed offset = axis_index ×
-    # local rows ≥ the per-shard stream consumption, same in fwd and bwd.
+def _mlp_fwd_cp(rate, out_rate, add_bias2=True):
+    # batch-local under a data-sharded mesh; under Megatron TP the hidden
+    # dim is the 'f' factor — w1/b1 column-sharded, w2 row-sharded, h1
+    # stays f-sharded as the backward residual and y is psum'd over the
+    # factor's axes (the row-parallel reduction). Seed offset =
+    # shard_linear_index × local rows ≥ the per-shard stream consumption,
+    # same in fwd and bwd.
     return batch_partitioned(
         lambda x2, w1, b1, w2, b2, seed: _mlp_fwd_impl(
-            x2, w1, b1, w2, b2, seed, rate, out_rate
+            x2, w1, b1, w2, b2, seed, rate, out_rate, add_bias2
         ),
-        (0, None, None, None, None, None), (0, 0),
+        ({"b": 0}, {"f": 1}, {"f": 1}, {"f": 0}, None, None),
+        ({"b": 0}, {"b": 0, "f": 1}),
         seed_arg=5, seed_stride=lambda args: args[0].shape[0],
+        psum_outs={0: ("f",)},
     )
 
 
 @functools.lru_cache(maxsize=None)
 def _mlp_bwd_cp(rate, out_rate):
     # db1/db2 are row-reductions accumulated per shard — psum'd over the
-    # batch axis inside the partitioned body
-    out_batch = (0, 0, None, None) + ((0,) if out_rate > 0.0 else ())
+    # batch axis inside the partitioned body; under TP db1 stays f-sharded
+    # (its param spec is P('model')) and db2 — identical on every f-shard,
+    # dy being f-replicated — is returned replicated
+    out_batch = ({"b": 0, "f": 1}, {"b": 0, "f": 1}, {"f": 1}, None) + (
+        ({"b": 0},) if out_rate > 0.0 else ()
+    )
     return batch_partitioned(
         lambda dy2, h1, w2, seed: _mlp_bwd_impl(
             dy2, h1, w2, seed, rate, out_rate
         ),
-        (0, 0, None, None), out_batch,
+        ({"b": 0}, {"b": 0, "f": 1}, {"f": 0}, None), out_batch,
         seed_arg=3, seed_stride=lambda args: args[0].shape[0],
-        psum_outs=(2, 3),
+        psum_outs={2: ("b",), 3: ("b",)},
     )
 
 
-def _fused_mlp_fwd(x, w1, b1, w2, b2, seed, rate, out_rate):
+def _fused_mlp_fwd(x, w1, b1, w2, b2, seed, rate, out_rate, add_bias2=True):
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     b1r = b1.reshape(1, -1)
     b2r = b2.reshape(1, -1)
     if _on_tpu():
-        y, h1 = _mlp_fwd_cp(rate, out_rate)(x2, w1, b1r, w2, b2r, seed)
+        y, h1 = _mlp_fwd_cp(rate, out_rate, add_bias2)(
+            x2, w1, b1r, w2, b2r, seed)
     else:
-        y, h1 = _fallback_fwd(x2, w1, b1r, w2, b2r, seed, rate, out_rate)
+        y, h1 = _fallback_fwd(x2, w1, b1r, w2, b2r, seed, rate, out_rate,
+                              add_bias2)
     return y.reshape(shape), (x2, h1, w1, w2, seed, shape)
 
 
-def _fused_mlp_bwd(rate, out_rate, res, gy):
+def _fused_mlp_bwd(rate, out_rate, add_bias2, res, gy):
     x2, h1, w1, w2, seed, shape = res
     dy2 = gy.reshape(-1, gy.shape[-1]).astype(x2.dtype)
     if _on_tpu():
@@ -495,8 +521,13 @@ def _fused_mlp_bwd(rate, out_rate, res, gy):
         go, dye, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     ).astype(w2.dtype)
+    db2_out = db2.reshape(-1).astype(w2.dtype)
+    if not add_bias2:
+        # b2 never entered the forward (the caller adds it post-psum and
+        # its grad flows through that external add) — zero cotangent here
+        db2_out = jnp.zeros_like(db2_out)
     return (dx.reshape(shape), dw1, db1.reshape(-1).astype(w1.dtype),
-            dw2, db2.reshape(-1).astype(w2.dtype), None)
+            dw2, db2_out, None)
 
 
 fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)

@@ -17,14 +17,20 @@ rows — the TPU-native equivalent of the reference's per-GPU kernel
 launches, but derived from the sharding annotations instead of explicit
 process code.
 
-Two factors cover every fused op in this codebase:
+Three factors cover every fused op in this codebase:
 
 * ``b`` — the batch dim (data parallelism). Declared with a plain int
   per-argument dim index.
 * ``h`` — the attention heads dim (tensor parallelism): heads are
   embarrassingly parallel in MHSA, so under Megatron TP the v3/v5 kernels
   run on each chip's local heads. Declared with a ``{"b": i, "h": j}``
-  dict entry. Both factors may be sharded simultaneously (dp×tp meshes).
+  dict entry. Factors may be sharded simultaneously (dp×tp meshes).
+* ``f`` — a CONTRACTED feature dim (Megatron column/row parallelism): the
+  fused-MLP hidden dim, sharded on fc1's output features and fc2's input
+  features. Outputs that sum over it (the MLP's y) declare it in
+  ``psum_outs`` and are partial-summed over the factor's mesh axes inside
+  the partition body — the Megatron row-parallel reduction, derived from
+  the sharding annotations.
 
 Extras the fused ops need:
 
@@ -57,7 +63,7 @@ from jax import lax
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-_FACTORS = ("b", "h")  # stable order: seed offsets / rule letters
+_FACTORS = ("b", "h", "f")  # stable order: seed offsets / rule letters
 
 
 def _norm(entry) -> dict:
@@ -69,11 +75,14 @@ def _norm(entry) -> dict:
     return {"b": entry}
 
 
-def _sdy_rule(arg_ranks, arg_dims, out_ranks, out_dims, psum_outs):
+def _sdy_rule(arg_ranks, arg_dims, out_ranks, out_dims):
     """Einsum-notation Shardy rule: one shared factor letter per declared
     factor on its dims, a unique factor everywhere else, all non-factor
     letters marked need-replication ("only declared dims may stay
-    sharded")."""
+    sharded"). A factor appearing on inputs but on no output (the ``f``
+    contraction under psum, the ``b`` reduction of bias grads) is einsum
+    contraction notation — exactly the partial-sum semantics the partition
+    body implements."""
     names = iter(
         f"{a}{c}" for a in string.ascii_lowercase if a not in _FACTORS
         for c in string.ascii_lowercase
@@ -93,10 +102,7 @@ def _sdy_rule(arg_ranks, arg_dims, out_ranks, out_dims, psum_outs):
         return " ".join(out)
 
     lhs = ", ".join(dims(r, fm) for r, fm in zip(arg_ranks, arg_dims))
-    rhs = ", ".join(
-        dims(r, {} if i in psum_outs else fm)
-        for i, (r, fm) in enumerate(zip(out_ranks, out_dims))
-    )
+    rhs = ", ".join(dims(r, fm) for r, fm in zip(out_ranks, out_dims))
     return f"{lhs} -> {rhs}", tuple(factors)
 
 
@@ -125,15 +131,19 @@ def batch_partitioned(fn, arg_batch, out_batch, *, seed_arg=None,
         kernel consumes on one shard (the per-shard grid size); the seed is
         offset by ``shard_linear_index * stride`` over every sharded factor
         axis.
-      psum_outs: output indices that are reductions over the sharded dims —
-        psum'd across the factor axes and returned replicated.
+      psum_outs: partial-sum outputs. A dict ``{out_index: factor_names}``
+        psums that output over exactly those factors' mesh axes inside the
+        partition body (its declared out dims stay sharded); the legacy
+        tuple form ``(i, ...)`` means "over every factor axis". Declared
+        out dims and psum factors must be disjoint per output.
     Returns:
       A function with ``fn``'s signature, safe to call under ``jit`` whether
       or not operands are sharded.
     """
     arg_dims = tuple(_norm(e) for e in arg_batch)
     out_dims = tuple(_norm(e) for e in out_batch)
-    psum_outs = frozenset(psum_outs)
+    if not isinstance(psum_outs, dict):
+        psum_outs = {i: _FACTORS for i in psum_outs}
     cp = custom_partitioning(fn)
     multi_out = len(out_dims) > 1
 
@@ -158,8 +168,8 @@ def batch_partitioned(fn, arg_batch, out_batch, *, seed_arg=None,
         axes = _factor_axes([a.sharding for a in arg_shapes])
         ranks = [len(r.shape) for r in jax.tree.leaves(result_shape)]
         shs = [
-            NamedSharding(mesh, _spec(r, {} if i in psum_outs else fm, axes))
-            for i, (r, fm) in enumerate(zip(ranks, out_dims))
+            NamedSharding(mesh, _spec(r, fm, axes))
+            for r, fm in zip(ranks, out_dims)
         ]
         return tuple(shs) if multi_out else shs[0]
 
@@ -171,8 +181,8 @@ def batch_partitioned(fn, arg_batch, out_batch, *, seed_arg=None,
         )
         ranks = [len(r.shape) for r in jax.tree.leaves(result_shape)]
         out_sh = [
-            NamedSharding(mesh, _spec(r, {} if i in psum_outs else fm, axes))
-            for i, (r, fm) in enumerate(zip(ranks, out_dims))
+            NamedSharding(mesh, _spec(r, fm, axes))
+            for r, fm in zip(ranks, out_dims)
         ]
         out_sh = tuple(out_sh) if multi_out else out_sh[0]
         flat_axes = _all_axes(axes)
@@ -191,8 +201,10 @@ def batch_partitioned(fn, arg_batch, out_batch, *, seed_arg=None,
             out = fn(*args)
             if flat_axes and psum_outs:
                 outs = list(out) if multi_out else [out]
-                for i in psum_outs:
-                    outs[i] = lax.psum(outs[i], flat_axes)
+                for i, facs in psum_outs.items():
+                    red = sum((axes[f] for f in facs if f in axes), ())
+                    if red:
+                        outs[i] = lax.psum(outs[i], red)
                 out = tuple(outs) if multi_out else outs[0]
             return out
 
@@ -204,7 +216,7 @@ def batch_partitioned(fn, arg_batch, out_batch, *, seed_arg=None,
         del mesh
         rule, repl = _sdy_rule(
             [len(t.shape) for t in value_types], arg_dims,
-            [len(t.shape) for t in result_types], out_dims, psum_outs,
+            [len(t.shape) for t in result_types], out_dims,
         )
         return rule, {"need_replication_factors": repl}
 

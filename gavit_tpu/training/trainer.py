@@ -105,24 +105,15 @@ class Trainer:
         self.wandb = wandb_run
         self.mesh = mesh if mesh is not None else make_mesh(config.mesh)
         if self.mesh.shape.get("model", 1) > 1:
-            # Attention keeps its fused kernels under TP: the trainer traces
-            # inside a jax.set_mesh context, so the Attention layer pins a
+            # All fused kernels stay in play under TP: the trainer traces
+            # inside a jax.set_mesh context, so Attention pins a
             # head-sharded layout and the head-partitioned kernel rules run
-            # each chip's local heads (ops/attention.py). The graph kernels
-            # carry batch-partitioning rules and all their params are
-            # replicated, so they are TP-safe as-is. Only the fused MLP
-            # megakernel must step aside: its folded out-dropout would have
-            # to run before the row-parallel fc2 psum — wrong order — so TP
-            # uses the XLA MLP chain (Megatron column/row GEMMs + dropout
-            # after the reduction).
-            if getattr(model, "mlp_impl", "xla") not in ("xla", "reference"):
-                logger.warning(
-                    "tensor parallelism uses the XLA MLP chain (the fused "
-                    "MLP kernel's folded out-dropout cannot follow the "
-                    "row-parallel psum); overriding mlp_impl to 'xla' "
-                    f"(was {getattr(model, 'mlp_impl', None)!r})"
-                )
-                self.model = model = model.clone(mlp_impl="xla")
+            # each chip's local heads (ops/attention.py); the fused-MLP
+            # megakernel runs on each chip's Megatron hidden shard via the
+            # 'f' contraction factor (ops/mlp.py — bias2 and the trailing
+            # dropout follow the row-parallel psum inside models.layers.Mlp).
+            # The graph kernels carry batch-partitioning rules and all
+            # their params are replicated, so they are TP-safe as-is.
             moe = config.model.moe
             if moe.enabled and moe.num_experts % self.mesh.shape["model"]:
                 # the EP specs shard the expert bank's leading dim over

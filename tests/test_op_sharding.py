@@ -218,6 +218,115 @@ def test_elementwise_partitioned_plumbing():
         )
 
 
+def _patch_mlp_kernels(monkeypatch):
+    """Route the fused-MLP public op through its custom-partitioning
+    wrappers on CPU: _on_tpu → True, Pallas runners → the XLA fallbacks
+    (same contracts; real kernel bodies are covered in
+    test_mlp_fused.py / on hardware by bench.py's selfcheck)."""
+    import gavit_tpu.ops.mlp as mmod
+
+    monkeypatch.setattr(mmod, "_on_tpu", lambda: True)
+    monkeypatch.setattr(
+        mmod, "_run_fwd",
+        lambda x2, w1, b1, w2, b2, seed, rate, out_rate, bm, add_bias2=True:
+            mmod._fallback_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate,
+                               add_bias2),
+    )
+    monkeypatch.setattr(
+        mmod, "_run_bwd",
+        lambda dy2, h1, w2, seed, rate, out_rate, bm:
+            mmod._fallback_bwd(dy2, h1, w2, seed, rate, out_rate),
+    )
+    mmod._mlp_fwd_cp.cache_clear()
+    mmod._mlp_bwd_cp.cache_clear()
+    return mmod
+
+
+def test_fused_mlp_megatron_tp_matches_and_no_weight_allgather(monkeypatch):
+    """The megakernel under Megatron TP (VERDICT r3 #2): w1/b1 column-
+    sharded and w2 row-sharded on the 'f' factor, y psum'd over 'model',
+    bias2 added post-reduce — values AND grads equal the single-device op,
+    with zero all-gathers in the HLO (the old batch-only rule re-gathered
+    the Megatron weights per call)."""
+    mmod = _patch_mlp_kernels(monkeypatch)
+
+    m, d, f = 16, 8, 32
+    x = jax.random.normal(jax.random.key(0), (2, m // 2, d), jnp.float32)
+    w1 = jax.random.normal(jax.random.key(1), (d, f), jnp.float32) * 0.3
+    b1 = jax.random.normal(jax.random.key(2), (f,), jnp.float32) * 0.1
+    w2 = jax.random.normal(jax.random.key(3), (f, d), jnp.float32) * 0.3
+    b2 = jax.random.normal(jax.random.key(4), (d,), jnp.float32) * 0.1
+    seed = jnp.asarray([5], jnp.int32)
+
+    def loss(x, w1, b1, w2, b2):
+        # the Mlp module's TP call shape: no bias2 in-kernel, added after
+        y = mmod.fused_mlp(x, w1, b1, w2, jnp.zeros_like(b2), seed,
+                           0.0, 0.0, False) + b2
+        return jnp.sum(y ** 2)
+
+    ref = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+
+    mesh = make_mesh(MeshConfig(data=2, model=2))
+    put = lambda a, s: jax.device_put(a, NamedSharding(mesh, s))
+    args = (put(x, P("data")), put(w1, P(None, "model")),
+            put(b1, P("model")), put(w2, P("model", None)), put(b2, P()))
+    fn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4)))
+    with jax.set_mesh(mesh):
+        val, grads = fn(*args)
+        hlo = fn.lower(*args).compile().as_text()
+    np.testing.assert_allclose(float(val), float(loss(x, w1, b1, w2, b2)),
+                               rtol=1e-6)
+    for g, r in zip(grads, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5)
+    assert "all-gather" not in hlo, "Megatron weights were re-gathered"
+    mmod._mlp_fwd_cp.cache_clear()
+    mmod._mlp_bwd_cp.cache_clear()
+
+
+def test_fused_mlp_tp_dropout_masks_regenerate(monkeypatch):
+    """With hidden dropout active under dp×tp, the backward must regenerate
+    the forward's masks (same per-shard seed offsets from the same specs):
+    dx's zero pattern matches the forward's dropped hidden units, and
+    distinct shards draw distinct streams."""
+    mmod = _patch_mlp_kernels(monkeypatch)
+
+    # d == f with identity weights makes the hidden masks OBSERVABLE:
+    # y[m, u] == 0 iff the forward dropped unit u, and dx[m, u] == 0 iff
+    # the regenerated backward mask dropped it (gelu(1.5) and its grad are
+    # both positive for kept units)
+    m = 8
+    d = f = 16
+    x = jnp.ones((2, m // 2, d), jnp.float32)
+    w1 = jnp.eye(d, dtype=jnp.float32)
+    b1 = jnp.full((f,), 0.5, jnp.float32)
+    w2 = jnp.eye(f, dtype=jnp.float32)
+    b2 = jnp.zeros((d,), jnp.float32)
+    seed = jnp.asarray([9], jnp.int32)
+    rate = 0.5
+
+    mesh = make_mesh(MeshConfig(data=2, model=2))
+    put = lambda a, s: jax.device_put(a, NamedSharding(mesh, s))
+    w1s = put(w1, P(None, "model"))
+    b1s, w2s = put(b1, P("model")), put(w2, P("model", None))
+
+    def f_out(x):
+        return mmod.fused_mlp(put(x, P("data")), w1s, b1s, w2s,
+                              jnp.zeros_like(b2), seed, rate, 0.0, False)
+
+    with jax.set_mesh(mesh):
+        y = np.asarray(jax.jit(f_out)(x))
+        dx = np.asarray(jax.jit(jax.grad(
+            lambda x: jnp.sum(f_out(x))))(x))
+    kept = y != 0.0
+    assert 0.1 < kept.mean() < 0.9
+    np.testing.assert_array_equal(dx != 0.0, kept)
+    # the two f-shard halves and the two data shards draw distinct streams
+    assert not np.array_equal(kept[..., : f // 2], kept[..., f // 2:])
+    assert not np.array_equal(kept[0], kept[1])
+    mmod._mlp_fwd_cp.cache_clear()
+    mmod._mlp_bwd_cp.cache_clear()
+
+
 def test_gelu_dropout_feature_sharded_no_allgather():
     """The TP MLP chain's mid-site: fused_gelu_dropout on a [B, N, F]
     hidden sharded ('data', None, 'model') must run shard-locally — the

@@ -243,8 +243,9 @@ def test_tp_training_step_with_fused_kernels_matches_dp(tmp_path):
     (auto→pallas) impls on a dp×tp mesh must reproduce the dp-only pallas
     update. The Trainer traces under jax.set_mesh, the Attention layer pins
     heads to 'model', and the head-partitioned rules run local heads
-    (parallel/op_sharding.py). Only mlp_impl falls back to XLA (enforced by
-    the Trainer — its warning path is also covered here)."""
+    (parallel/op_sharding.py). The fused MLP megakernel also stays: its 'f'
+    contraction factor runs it on each chip's Megatron hidden shard (the r3
+    Trainer override to 'xla' is gone)."""
     from gavit_tpu.config import from_dict
     from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
     from gavit_tpu.parallel.mesh import shard_batch
@@ -280,7 +281,7 @@ def test_tp_training_step_with_fused_kernels_matches_dp(tmp_path):
                            ("tp", {"data": 4, "model": 2})]:
         tr = make(mesh_cfg)
         if name == "tp":
-            assert tr.model.mlp_impl == "xla"  # enforced fallback
+            assert tr.model.mlp_impl == "auto"  # megakernel KEPT under TP
             assert tr.model.attn_impl == "auto"  # fused kernels KEPT
         batch = shard_batch(tr.mesh, (images, labels))
         state, metrics, _ = tr._train_step(tr.state, tr.base_rng, *batch)
@@ -348,13 +349,11 @@ def test_head_shard_constraint_indivisible_heads_noop():
 
 
 def test_mlp_fused_dispatch_skips_tp_context(monkeypatch):
-    """The fused-MLP megakernel's partitioning rule declares its weights
-    replicated, so under a >1 'model' axis it would all-gather the
-    Megatron-sharded fc1/fc2 per layer per call (TPU-only: the CPU path
-    short-circuits before the wrapper, so this pins the DISPATCH decision
-    with a sentinel rather than the HLO). Mlp must skip the fused path
-    inside a TP mesh context — at EVERY entry point (the serving path
-    missed this; the trainer separately forces mlp_impl='xla')."""
+    """The DETERMINISTIC (serving) megakernel still steps aside under TP —
+    only the training op carries the 'f' Megatron factor; inference under
+    TP takes the GSPMD XLA chain (TPU-only dispatch decision, pinned with
+    a sentinel rather than the HLO since the CPU path short-circuits
+    before the wrapper)."""
     import gavit_tpu.ops.mlp as mlp_ops
     from gavit_tpu.models.layers import Mlp
     from gavit_tpu.ops.mlp import pick_block
