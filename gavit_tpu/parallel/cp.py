@@ -18,14 +18,25 @@ Design notes:
     at the head.
   * weights stay replicated (they are small next to N·N scores); the cls
     readout is a psum-broadcast of shard 0's row 0 after the final LN.
-  * scope mirrors `parallel/pp.py`: the homogeneous trunk (graph blocks
-    stay on dp/tp — kNN adjacency is token-global), deterministic blocks,
-    XLA-einsum attention inside the manual region. Differentiable end to
-    end (autodiff of scan+ppermute = the reverse ring).
+  * the GRAPH branch runs token-sharded too (`_graph_cp`): each chip
+    builds only its own rows of the adjacency — cosine similarity of the
+    local rows against the all-gathered (normalised) token blocks, the
+    same masked top-k / threshold / dense / learned-static selection as
+    ``ops.graph_ops.build_adjacency`` over global column ids, row-softmax,
+    then a [nl, N]×[N, D] aggregation against the gathered values. The
+    full [N, N] adjacency never exists on any chip — exactly the regime
+    cp exists for (1024px ⇒ N=4097, where N² stops fitting alongside the
+    activations). CLS/pad rows bypass via masking, reproducing the
+    sequential ``include_cls`` semantics bit-for-bit.
+  * scope mirrors `parallel/pp.py`: deterministic blocks, XLA-einsum
+    attention inside the manual region; MoE stays on dp/EP. The trunk is
+    differentiable end to end (autodiff of scan+ppermute+all_gather = the
+    reverse ring / reduce-scatter).
 
-Parity is pinned by ``tests/test_context_parallel.py``: logits equal to
-``VisionTransformer.apply`` on the same param tree, including a ctx×data
-mesh and a token count that does NOT divide the axis (pad path).
+Parity is pinned by ``tests/test_context_parallel.py``: logits AND param
+grads equal to ``VisionTransformer.apply`` on the same param tree,
+including a ctx×data mesh, a token count that does NOT divide the axis
+(pad path), and every adjacency mode of the graph branch.
 """
 
 from __future__ import annotations
@@ -108,17 +119,110 @@ def _block_cp(cfg: ModelConfig, dtype, p, x, n_valid: int, axis: str):
     return x + y
 
 
+_NEG_INF = -1e30
+_EPS = 1e-6
+
+
+def _graph_cp(cfg: ModelConfig, dtype, p, x, n: int, axis: str, adj=None):
+    """One graph block on this chip's token rows (token-sharded adjacency).
+
+    Matches the deterministic ``models.graph.GraphBlock`` math exactly
+    (same LN/value/proj/gate params, same masked-selection rules as
+    ``ops.graph_ops.build_adjacency``), with the row dimension sharded:
+    this chip computes the [nl, N_pad] adjacency rows for ITS tokens
+    against the all-gathered token blocks and aggregates against the
+    gathered values. CLS (``include_cls=False``) and ring padding are
+    handled as masked global columns / passed-through rows — the column
+    masking preserves top-k tie order (masked entries sit at -1e30, below
+    any cosine), so the selected edges equal the sequential build's.
+
+    Args:
+      x: [B, nl, C] local rows (global rows idx·nl … idx·nl+nl−1).
+      n: global count of REAL tokens (incl. CLS).
+      adj: optional [B, nl, N_pad] adjacency to reuse (dynamic=False).
+    Returns (x, adj_local).
+    """
+    g = cfg.graph
+    prec = _prec(dtype)
+    b, nl, _ = x.shape
+    idx = lax.axis_index(axis)
+    S = lax.axis_size(axis)
+    n_pad = nl * S
+    row_g = idx * nl + jnp.arange(nl)           # [nl] global row ids
+    col_g = jnp.arange(n_pad)                   # [n_pad] global col ids
+    off = 0 if g.include_cls else 1             # CLS bypasses by default
+    row_ok = (row_g >= off) & (row_g < n)
+    col_ok = (col_g >= off) & (col_g < n)
+
+    h = _ln(p["norm"], x, dtype).astype(dtype)
+    values = (jnp.dot(h, p["value"]["kernel"].astype(dtype), precision=prec)
+              + p["value"]["bias"].astype(dtype))
+    v_full = lax.all_gather(values, axis, axis=1, tiled=True)  # [B,N_pad,C]
+
+    if g.adjacency == "learned_static":
+        # the [n−off, n−off] logits table is a replicated param: softmax
+        # its full rows, place them in global token columns, slice this
+        # chip's rows
+        n_g = n - off
+        table = jax.nn.softmax(
+            p["adj_logits"].astype(jnp.float32) / g.temperature, axis=-1)
+        table = jnp.pad(table, ((0, 0), (off, n_pad - n)))
+        r = jnp.clip(row_g - off, 0, n_g - 1)
+        adj_local = jnp.broadcast_to(
+            jnp.where(row_ok[:, None], table[r], 0.0)[None],
+            (b, nl, n_pad))
+    elif adj is not None:
+        adj_local = adj
+    else:
+        # cosine similarity of local rows vs the full sequence: normalise
+        # locally (per-row op — identical values to the sequential path),
+        # gather the normalised blocks
+        t32 = h.astype(jnp.float32)
+        t32 = t32 * lax.rsqrt(
+            jnp.sum(t32 * t32, axis=-1, keepdims=True) + _EPS)
+        tl = t32.astype(h.dtype)
+        tf = lax.all_gather(tl, axis, axis=1, tiled=True)
+        sim = jnp.einsum("bid,bjd->bij", tl, tf,
+                         preferred_element_type=jnp.float32, precision=prec)
+        no_self = row_g[:, None] != col_g[None, :]
+        valid = col_ok[None, :] & no_self                    # [nl, n_pad]
+        if g.adjacency == "dense":
+            mask = jnp.broadcast_to(valid[None], sim.shape)
+        elif g.adjacency == "knn":
+            kk = min(g.k, (n - off) - 1)
+            masked_sim = jnp.where(valid[None], sim, _NEG_INF)
+            sel = jax.lax.top_k(masked_sim, kk)[1]
+            mask = jnp.any(
+                sel[..., None] == col_g.astype(sel.dtype), axis=-2)
+            mask = mask & valid[None]
+        elif g.adjacency == "threshold":
+            edge = (sim > g.threshold) & valid[None]
+            row_any = jnp.any(edge, axis=-1, keepdims=True)
+            eye_local = (row_g[:, None] == col_g[None, :])[None]
+            mask = jnp.where(row_any, edge, eye_local)
+        else:
+            raise ValueError(f"unknown adjacency mode: {g.adjacency!r}")
+        logits = jnp.where(mask, sim / g.temperature, _NEG_INF)
+        adj_local = jax.nn.softmax(logits, axis=-1)
+
+    msg = jnp.einsum("bij,bjd->bid", adj_local.astype(dtype), v_full,
+                     preferred_element_type=jnp.float32,
+                     precision=prec).astype(dtype)
+    msg = (jnp.dot(msg, p["proj"]["kernel"].astype(dtype), precision=prec)
+           + p["proj"]["bias"].astype(dtype))
+    upd = p["gate"].astype(dtype) * msg
+    x = jnp.where(row_ok[None, :, None], x + upd, x)
+    return x, adj_local
+
+
 def ctx_forward(mesh: Mesh, cfg: ModelConfig, params, images,
                 dtype=jnp.float32):
     """Deterministic ViT forward with tokens sharded over mesh axis 'ctx'.
 
-    ``params`` is the plain VisionTransformer tree (graph disabled).
-    Returns fp32 logits equal to the sequential ``model.apply``.
+    ``params`` is the plain VisionTransformer tree (graph blocks
+    included when ``cfg.graph.enabled``). Returns fp32 logits equal to
+    the sequential ``model.apply``.
     """
-    if cfg.graph.enabled:
-        raise ValueError("context-parallel trunk requires "
-                         "graph.enabled=False (kNN adjacency is "
-                         "token-global; use dp/tp)")
     if cfg.moe.enabled:
         raise ValueError("context-parallel trunk requires "
                          "moe.enabled=False (routing groups are "
@@ -127,6 +231,8 @@ def ctx_forward(mesh: Mesh, cfg: ModelConfig, params, images,
     pre = {k: params[k] for k in ("patch_embed", "cls_token", "pos_embed")}
     post = {k: params[k] for k in ("norm", "head")}
     blocks = [params[f"blocks_{i}"] for i in range(cfg.depth)]
+    graph_sites = set(cfg.graph_insert_after())
+    graphs = [params[f"graph_{j}"] for j in range(len(graph_sites))]
 
     x = _embed(cfg, dtype, pre, images)          # [B, N, C] replicated
     n = x.shape[1]
@@ -136,20 +242,30 @@ def ctx_forward(mesh: Mesh, cfg: ModelConfig, params, images,
 
     def body(*args):
         x_local = args[-1]
-        blks = args[:-1]
-        for p in blks:
+        blks = args[: cfg.depth]
+        gps = args[cfg.depth: -1]
+        adj = None
+        g_idx = 0
+        for i, p in enumerate(blks):
             x_local = _block_cp(cfg, dtype, p, x_local, n, "ctx")
+            if i in graph_sites:
+                x_local, new_adj = _graph_cp(
+                    cfg, dtype, gps[g_idx], x_local, n, "ctx",
+                    adj=adj if not cfg.graph.dynamic else None)
+                if not cfg.graph.dynamic and adj is None:
+                    adj = new_adj
+                g_idx += 1
         # cls readout: global token 0 lives on ctx shard 0 — broadcast it
         cls = jnp.where(lax.axis_index("ctx") == 0, x_local[:, 0, :], 0.0)
         return lax.psum(cls, "ctx")
 
     spec = P(None, "ctx", None)
-    rep = jax.tree.map(lambda _: P(), tuple(blocks))
+    rep = jax.tree.map(lambda _: P(), tuple(blocks) + tuple(graphs))
     cls = jax.shard_map(
         body, mesh=mesh,
         in_specs=rep + (spec,), out_specs=P(),
         check_vma=False,
-    )(*blocks, x)
+    )(*blocks, *graphs, x)
     return _head(cfg, dtype, post, cls[:, None, :])
 
 
