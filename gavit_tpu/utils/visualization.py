@@ -34,6 +34,19 @@ class VisualizationManager:
         self.save_dir = Path(save_dir)
         self.save_dir.mkdir(parents=True, exist_ok=True)
         self.disease_names = list(disease_names)
+        # the reference's artifact directory layout
+        # (``visualization.py:20-31``) — switching users' glob patterns
+        # keep working: each artifact family lands in its subdirectory
+        self.dirs = {
+            "roc": self.save_dir / "roc_curves",
+            "pr": self.save_dir / "pr_curves",
+            "confusion": self.save_dir / "confusion_matrices",
+            "attention": self.save_dir / "attention_maps",
+            "error": self.save_dir / "error_analysis",
+            "training": self.save_dir / "training_progress",
+        }
+        for dir_path in self.dirs.values():
+            dir_path.mkdir(parents=True, exist_ok=True)
 
     # -- curves ---------------------------------------------------------
 
@@ -51,7 +64,7 @@ class VisualizationManager:
         plt.title(title)
         plt.legend(bbox_to_anchor=(1.05, 1), loc="upper left")
         plt.tight_layout()
-        path = self.save_dir / filename
+        path = self.dirs["roc"] / filename
         plt.savefig(path, bbox_inches="tight", dpi=dpi)
         plt.close()
         return path
@@ -71,7 +84,7 @@ class VisualizationManager:
         plt.title("Precision-Recall Curves")
         plt.legend(bbox_to_anchor=(1.05, 1), loc="upper left")
         plt.tight_layout()
-        path = self.save_dir / filename
+        path = self.dirs["pr"] / filename
         plt.savefig(path, bbox_inches="tight")
         plt.close()
         return path
@@ -97,7 +110,7 @@ class VisualizationManager:
         for ax in axes[len(self.disease_names):]:
             ax.remove()
         plt.tight_layout()
-        path = self.save_dir / filename
+        path = self.dirs["confusion"] / filename
         plt.savefig(path, bbox_inches="tight", dpi=dpi)
         plt.close()
         return path
@@ -124,7 +137,7 @@ class VisualizationManager:
             axes[1, j].set_title("attention rollout")
             axes[1, j].axis("off")
         plt.tight_layout()
-        path = self.save_dir / filename
+        path = self.dirs["attention"] / filename
         plt.savefig(path, bbox_inches="tight")
         plt.close()
         return path
@@ -151,7 +164,7 @@ class VisualizationManager:
             plt.imshow(att, cmap="viridis")
             plt.colorbar()
             plt.title(f"Attention Map - blocks_{i}")
-            path = self.save_dir / f"{prefix}_blocks_{i}.pdf"
+            path = self.dirs["attention"] / f"{prefix}_blocks_{i}.pdf"
             plt.savefig(path, bbox_inches="tight")
             plt.close()
             paths.append(path)
@@ -173,7 +186,7 @@ class VisualizationManager:
             )
             axes[j].axis("off")
         plt.tight_layout()
-        path = self.save_dir / filename
+        path = self.dirs["attention"] / filename
         plt.savefig(path, bbox_inches="tight")
         plt.close()
         return path
@@ -182,6 +195,25 @@ class VisualizationManager:
 
     def plot_training_progress(self, train_history, val_history,
                                filename="training_progress.png"):
+        # the reference's per-metric progress plots (visualization.py:
+        # 153-167): one figure each for loss/auc/ap/f1 into
+        # training_progress/{metric}_progress.pdf
+        for metric, key in [("loss", "loss"), ("auc", "mean_auc"),
+                            ("ap", "mean_ap"), ("f1", "mean_f1")]:
+            if not (train_history and key in train_history[0]):
+                continue
+            plt.figure(figsize=(10, 6))
+            plt.plot([m[key] for m in train_history], label="Train")
+            plt.plot([m[key] for m in val_history if key in m],
+                     label="Validation")
+            plt.xlabel("Epoch")
+            plt.ylabel(metric.upper())
+            plt.title(f"Training Progress - {metric.upper()}")
+            plt.legend()
+            plt.grid(True)
+            plt.savefig(self.dirs["training"] / f"{metric}_progress.pdf",
+                        bbox_inches="tight")
+            plt.close()
         fig, axes = plt.subplots(1, 2, figsize=(14, 5))
         axes[0].plot([m["loss"] for m in train_history], label="train")
         axes[0].plot([m["loss"] for m in val_history], label="val")
@@ -196,7 +228,7 @@ class VisualizationManager:
         axes[1].set_title("Mean AUC")
         axes[1].legend()
         plt.tight_layout()
-        path = self.save_dir / filename
+        path = self.dirs["training"] / filename
         plt.savefig(path, bbox_inches="tight")
         plt.close()
         return path
@@ -210,7 +242,14 @@ class VisualizationManager:
         plt.xlabel("Step")
         plt.ylabel("Learning rate")
         plt.title("LR schedule (linear warmup → cosine)")
-        path = self.save_dir / filename
+        # log y-axis like the reference's lr_schedule plot
+        # (visualization.py:236-247); warmup starts at lr=0 — clip for the
+        # log scale
+        plt.yscale("log")
+        plt.ylim(bottom=max(min((l for l in lrs if l > 0), default=1e-8)
+                            * 0.5, 1e-12))
+        plt.grid(True)
+        path = self.dirs["training"] / filename
         plt.savefig(path, bbox_inches="tight")
         plt.close()
         return path
@@ -244,40 +283,52 @@ class VisualizationManager:
         axes[1].set_title("Error co-occurrence")
         fig.colorbar(im, ax=axes[1])
         plt.tight_layout()
-        path = self.save_dir / filename
+        path = self.dirs["error"] / filename
         plt.savefig(path, bbox_inches="tight")
         plt.close()
         return path
 
     # -- tables -----------------------------------------------------------
 
-    def save_performance_tables(self, metrics: dict, basename="performance"):
+    def save_performance_tables(self, metrics: dict, basename="performance",
+                                ci_metrics: dict | None = None):
         """CSV + LaTeX per-disease metric tables
-        (reference ``visualization.py:213-234``)."""
+        (reference ``visualization.py:213-234``). ``ci_metrics`` (the
+        ``calculate_confidence_intervals`` dict) adds the reference's
+        AUC-ROC CI column (``visualization.py:225-228``, "(lo-hi)")."""
         cols = ["auc", "ap", "f1", "sensitivity", "specificity", "precision"]
+        headers = [c.upper() for c in cols]
+        if ci_metrics is not None:
+            headers.append("AUC-ROC CI")
         rows = []
         for d in self.disease_names:
             row = [d] + [
                 f"{metrics[f'{d}_{c}']:.4f}" if f"{d}_{c}" in metrics else "-"
                 for c in cols
             ]
+            if ci_metrics is not None:
+                ci = ci_metrics.get(f"{d}_auc_ci")
+                row.append(f"({ci[0]:.3f}-{ci[1]:.3f})" if ci else "-")
             rows.append(row)
-        rows.append(
-            ["Mean"] + [f"{metrics.get(f'mean_{c}', float('nan')):.4f}"
-                        for c in cols]
-        )
+        mean_row = ["Mean"] + [
+            f"{metrics.get(f'mean_{c}', float('nan')):.4f}" for c in cols
+        ]
+        if ci_metrics is not None:
+            ci = ci_metrics.get("mean_auc_ci")
+            mean_row.append(f"({ci[0]:.3f}-{ci[1]:.3f})" if ci else "-")
+        rows.append(mean_row)
         csv_path = self.save_dir / f"{basename}.csv"
         with open(csv_path, "w") as f:
-            f.write(",".join(["Disease"] + [c.upper() for c in cols]) + "\n")
+            f.write(",".join(["Disease"] + headers) + "\n")
             for row in rows:
                 f.write(",".join(row) + "\n")
 
         tex_path = self.save_dir / f"{basename}.tex"
         with open(tex_path, "w") as f:
-            f.write("\\begin{tabular}{l" + "c" * len(cols) + "}\n\\toprule\n")
+            f.write("\\begin{tabular}{l" + "c" * len(headers)
+                    + "}\n\\toprule\n")
             f.write(
-                " & ".join(["Disease"] + [c.upper() for c in cols])
-                + " \\\\\n\\midrule\n"
+                " & ".join(["Disease"] + headers) + " \\\\\n\\midrule\n"
             )
             for row in rows:
                 f.write(" & ".join(row) + " \\\\\n")

@@ -113,7 +113,7 @@ def _take_valid(arr: np.ndarray, valid) -> np.ndarray:
 
 
 def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0,
-             mesh=None, sp=False):
+             mesh=None, sp=False, calibration_frac: float = 0.0):
     """Batch evaluation. With a ``mesh``, inference runs data-sharded over
     every device (the reference — and round-2's evaluate — were
     single-device; a 112k-image val epoch drops from ~30 s to ~4 s on
@@ -157,6 +157,43 @@ def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0,
     predictions = np.vstack(all_predictions)
     targets = np.vstack(all_targets)
 
+    # --calibration-frac: hold out a disjoint calibration split, fit the
+    # Youden-J operating points THERE, and report the whole battery (plots,
+    # CIs, error analysis included) on the remaining eval split — deployed
+    # operating points without the in-sample optimism of the legacy
+    # optimal_thresholds keys below
+    calibration = None
+    metrics_at_calibrated = None
+    if calibration_frac and 0.0 < calibration_frac < 1.0:
+        rng = np.random.default_rng(prng_seed)
+        n = len(predictions)
+        n_cal = int(round(n * calibration_frac))
+        n_cal = min(max(1, n_cal), n - 1)
+        perm = rng.permutation(n)
+        cal_idx, eval_idx = perm[:n_cal], perm[n_cal:]
+        cal_thresholds = metric_calculator.optimal_thresholds(
+            targets[cal_idx], predictions[cal_idx]
+        )
+        predictions, targets = predictions[eval_idx], targets[eval_idx]
+        cal_vec = np.asarray([
+            cal_thresholds.get(d, 0.5)
+            for d in dataloader.dataset.disease_names
+        ])
+        metrics_at_calibrated = metric_calculator.calculate_metrics(
+            targets, predictions, threshold=cal_vec
+        )
+        calibration = {
+            "fraction": float(calibration_frac),
+            "n_calibration": int(n_cal),
+            "n_eval": int(len(eval_idx)),
+            "thresholds": cal_thresholds,
+            "note": (
+                "Youden-J thresholds fit on a held-out calibration split; "
+                "metrics/metrics_at_calibrated_thresholds (and every other "
+                "artifact) are computed on the disjoint eval split"
+            ),
+        }
+
     metrics = metric_calculator.calculate_metrics(targets, predictions)
     ci_metrics = metric_calculator.calculate_confidence_intervals(
         targets, predictions, seed=prng_seed
@@ -183,6 +220,9 @@ def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0,
     viz.plot_confusion_matrices(
         targets, predictions, filename="confusion_matrices.pdf", dpi=300,
     )
+    # per-disease performance table with the AUC-ROC CI column
+    # (reference visualization.py:213-234)
+    viz.save_performance_tables(metrics, ci_metrics=ci_metrics)
     error_df, error_cooccurrence = analyze_error_patterns(
         predictions, targets, dataloader.dataset.disease_names
     )
@@ -190,7 +230,7 @@ def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0,
                                  dataloader.dataset.image_size)
     logger.info(f"p50 single-image eval latency: {p50_ms:.2f} ms")
 
-    return {
+    out = {
         "metrics": metrics,
         "optimal_thresholds": thresholds,
         "optimal_thresholds_note": (
@@ -206,6 +246,10 @@ def evaluate(model, params, dataloader, save_dir, prng_seed: int = 0,
         },
         "p50_single_image_latency_ms": p50_ms,
     }
+    if calibration is not None:
+        out["calibration"] = calibration
+        out["metrics_at_calibrated_thresholds"] = metrics_at_calibrated
+    return out
 
 
 def main():
@@ -218,6 +262,11 @@ def main():
                         dest="overrides", metavar="KEY=VALUE",
                         help="Override a config value (dotted keys, "
                              "YAML-parsed values)")
+    parser.add_argument("--calibration-frac", type=float, default=0.0,
+                        help="Hold out this fraction of the dataset to fit "
+                             "Youden-J operating points; the battery is "
+                             "then reported on the disjoint remainder at "
+                             "0.5 AND at the calibrated thresholds")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -248,7 +297,8 @@ def main():
     if mesh is not None:
         logger.info(f"evaluating data-sharded over {mesh.devices.size} devices")
     results = evaluate(model, params, dataloader, save_dir, mesh=mesh,
-                       sp=config.mesh.sp)
+                       sp=config.mesh.sp,
+                       calibration_frac=args.calibration_frac)
 
     # serving-path batch latency (Predictor = the production serve path)
     from gavit_tpu.serving import Predictor

@@ -109,17 +109,29 @@ def test_visualization_manager_artifacts(tmp_path):
     targets = (rng.random((20, 14)) < 0.4).astype(np.float64)
     preds = np.clip(targets * 0.5 + rng.random((20, 14)) * 0.5, 0, 1)
     viz = VisualizationManager(tmp_path, DISEASE_NAMES)
-    assert viz.plot_roc_curves(targets, preds).exists()
-    assert viz.plot_pr_curves(targets, preds).exists()
-    assert viz.plot_confusion_matrices(targets, preds).exists()
-    assert viz.plot_error_analysis(targets, preds).exists()
-    hist = [{"loss": 1.0, "mean_auc": 0.5}, {"loss": 0.8, "mean_auc": 0.6}]
-    assert viz.plot_training_progress(hist, hist).exists()
+    # the reference's artifact directory layout (visualization.py:20-31)
+    for sub in ("roc_curves", "pr_curves", "confusion_matrices",
+                "attention_maps", "error_analysis", "training_progress"):
+        assert (tmp_path / sub).is_dir()
+    roc = viz.plot_roc_curves(targets, preds)
+    assert roc.exists() and roc.parent.name == "roc_curves"
+    pr = viz.plot_pr_curves(targets, preds)
+    assert pr.exists() and pr.parent.name == "pr_curves"
+    cm = viz.plot_confusion_matrices(targets, preds)
+    assert cm.exists() and cm.parent.name == "confusion_matrices"
+    err = viz.plot_error_analysis(targets, preds)
+    assert err.exists() and err.parent.name == "error_analysis"
+    hist = [{"loss": 1.0, "mean_auc": 0.5, "mean_ap": 0.3, "mean_f1": 0.2},
+            {"loss": 0.8, "mean_auc": 0.6, "mean_ap": 0.4, "mean_f1": 0.3}]
+    prog = viz.plot_training_progress(hist, hist)
+    assert prog.exists() and prog.parent.name == "training_progress"
+    # the reference's per-metric progress plots (visualization.py:153-167)
+    for m in ("loss", "auc", "ap", "f1"):
+        assert (tmp_path / "training_progress" / f"{m}_progress.pdf").exists()
     from gavit_tpu.training.schedule import warmup_cosine_schedule
 
-    assert viz.plot_learning_rate(
-        warmup_cosine_schedule(1e-4, 10, 100), 100
-    ).exists()
+    lr = viz.plot_learning_rate(warmup_cosine_schedule(1e-4, 10, 100), 100)
+    assert lr.exists() and lr.parent.name == "training_progress"
     metrics = {"mean_auc": 0.5}
     for d in DISEASE_NAMES:
         for c in ("auc", "ap", "f1", "sensitivity", "specificity", "precision"):
@@ -129,6 +141,13 @@ def test_visualization_manager_artifacts(tmp_path):
                          "precision")})
     csv_path, tex_path = viz.save_performance_tables(metrics)
     assert csv_path.exists() and tex_path.exists()
+    # CI column (reference visualization.py:225-228)
+    ci = {f"{d}_auc_ci": (0.41, 0.62) for d in DISEASE_NAMES}
+    ci["mean_auc_ci"] = (0.45, 0.58)
+    csv_ci, _ = viz.save_performance_tables(metrics, basename="perf_ci",
+                                            ci_metrics=ci)
+    text = csv_ci.read_text()
+    assert "AUC-ROC CI" in text and "(0.410-0.620)" in text
     images_u8 = rng.integers(0, 255, (4, 32, 32, 3), np.uint8)
     assert viz.plot_prediction_grid(images_u8, targets[:4], preds[:4]).exists()
     imgs_n = np.asarray(x)
