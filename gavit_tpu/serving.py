@@ -571,6 +571,13 @@ class ExportedPredictor:
         return probs
 
 
+class QueueFull(RuntimeError):
+    """Backpressure signal: the micro-batcher's pending-row bound is
+    exceeded. The serving layer maps this to HTTP 503 + Retry-After so an
+    overloaded replica sheds load at admission instead of growing an
+    unbounded queue of threads all blocked in ``submit``."""
+
+
 class MicroBatcher:
     """Cross-request micro-batching for online serving.
 
@@ -590,13 +597,22 @@ class MicroBatcher:
     """
 
     def __init__(self, predictor: Predictor, *, max_wait_ms: float = 2.0,
-                 max_batch: int | None = None):
+                 max_batch: int | None = None,
+                 max_queue_rows: int | None = None):
         import queue
         import threading
 
         self.predictor = predictor
         self.max_wait = max_wait_ms / 1000.0
         self.max_batch = max_batch or predictor.buckets[-1]
+        # admission bound: pending = queued + in-flight rows. Default 8
+        # full flushes of lag — past that a request would wait ≥8 device
+        # calls anyway, so telling the client to retry (503) beats holding
+        # its handler thread. None/0 disables (pre-r4 behavior).
+        self.max_queue_rows = (max_queue_rows if max_queue_rows is not None
+                               else 8 * self.max_batch)
+        self._pending_rows = 0
+        self._rejected = 0
         self.image_size = (getattr(predictor, "image_size", None)
                            or predictor.config.data.image_size)
         self._q: queue.Queue = queue.Queue()
@@ -625,9 +641,18 @@ class MicroBatcher:
         images_u8 = validate_images(images_u8, self.image_size)
         done = threading.Event()
         slot: list = [None]
+        n = images_u8.shape[0]
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
+            if self.max_queue_rows and \
+                    self._pending_rows + n > self.max_queue_rows:
+                self._rejected += 1
+                raise QueueFull(
+                    f"{self._pending_rows} rows pending (bound "
+                    f"{self.max_queue_rows}); retry later"
+                )
+            self._pending_rows += n
             self._q.put((images_u8, done, slot))
         done.wait()
         if isinstance(slot[0], Exception):
@@ -680,27 +705,36 @@ class MicroBatcher:
             self._total_flushes += 1
             self._total_rows += rows
         try:
-            probs = self.predictor.predict_proba(
-                np.concatenate([b[0] for b in batch])
-            )
-        except Exception as e:  # propagate to exactly this flush's waiters
-            for _, done, slot in batch:
-                slot[0] = e
+            try:
+                probs = self.predictor.predict_proba(
+                    np.concatenate([b[0] for b in batch])
+                )
+            except Exception as e:  # propagate to this flush's waiters only
+                for _, done, slot in batch:
+                    slot[0] = e
+                    done.set()
+                return
+            off = 0
+            for imgs, done, slot in batch:
+                n = imgs.shape[0]
+                slot[0] = probs[off : off + n]
+                off += n
                 done.set()
-            return
-        off = 0
-        for imgs, done, slot in batch:
-            n = imgs.shape[0]
-            slot[0] = probs[off : off + n]
-            off += n
-            done.set()
+        finally:
+            # pending = queued + in-flight: release admission capacity only
+            # once the device call for these rows is over (either way)
+            with self._submit_lock:
+                self._pending_rows -= rows
 
     def stats(self) -> dict:
         # snapshot under the lock — same deque-mutated-during-iteration
         # hazard as _latency_stats (a /stats scrape racing a worker flush)
+        with self._submit_lock:
+            pending, rejected = self._pending_rows, self._rejected
         with self._stats_lock:
             if not self._batch_sizes:
-                return {"flushes": 0}
+                return {"flushes": 0, "pending_rows": int(pending),
+                        "rejected": int(rejected)}
             arr = np.asarray(self._batch_sizes)
             flushes, rows = self._total_flushes, self._total_rows
         # flushes/rows are lifetime totals; the shape stats (mean/max/
@@ -711,6 +745,8 @@ class MicroBatcher:
             "mean_batch": float(arr.mean()),
             "max_batch": int(arr.max()),
             "coalesced_frac": float((arr > 1).mean()),
+            "pending_rows": int(pending),
+            "rejected": int(rejected),
         }
 
     def close(self):
@@ -737,6 +773,8 @@ class MicroBatcher:
             except queue.Empty:
                 return
             if item is not None:
-                _, done, slot = item
+                imgs, done, slot = item
                 slot[0] = RuntimeError("MicroBatcher closed before flush")
                 done.set()
+                with self._submit_lock:
+                    self._pending_rows -= imgs.shape[0]

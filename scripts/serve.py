@@ -61,11 +61,13 @@ class GavitHTTPServer(ThreadingHTTPServer):
 def build_handler(predictor, image_size: int, model_desc: str,
                   batcher=None, max_body_bytes: int = 128 << 20):
     class Handler(BaseHTTPRequestHandler):
-        def _send(self, code: int, payload: dict):
+        def _send(self, code: int, payload: dict, headers: dict = None):
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -110,6 +112,12 @@ def build_handler(predictor, image_size: int, model_desc: str,
                              mb["mean_batch"])
                         emit("microbatch_coalesced_frac", "gauge",
                              mb["coalesced_frac"])
+                    emit("microbatch_pending_rows", "gauge",
+                         mb.get("pending_rows", 0),
+                         "rows queued + in-flight (backpressure signal)")
+                    emit("microbatch_rejected_total", "counter",
+                         mb.get("rejected", 0),
+                         "submissions shed with 503 at the admission bound")
                 body = ("\n".join(lines) + "\n").encode()
                 self.send_response(200)
                 self.send_header("Content-Type",
@@ -161,6 +169,14 @@ def build_handler(predictor, image_size: int, model_desc: str,
                     "disease_names": predictor.disease_names,
                 })
             except Exception as e:  # client-facing error surface
+                from gavit_tpu.serving import QueueFull
+
+                if isinstance(e, QueueFull):
+                    # shed load at admission: the replica is >max-queue-rows
+                    # behind; Retry-After ≈ one drain of the pending queue
+                    self._send(503, {"error": str(e)},
+                               headers={"Retry-After": "1"})
+                    return
                 logger.exception("predict failed")
                 self._send(400, {"error": str(e)})
 
@@ -189,6 +205,10 @@ def main():
                    help="reject request bodies above this size with 413 "
                         "(an unbounded read would buffer arbitrarily large "
                         "bodies in serving-host memory)")
+    p.add_argument("--max-queue-rows", type=int, default=None,
+                   help="micro-batcher admission bound: reject with 503 + "
+                        "Retry-After once queued+in-flight rows exceed this "
+                        "(default 8 full batches; 0 disables)")
     p.add_argument("--coalesce-ms", type=float, default=None,
                    metavar="MS",
                    help="micro-batch concurrent requests: a request waits "
@@ -254,9 +274,11 @@ def main():
     if args.coalesce_ms is not None:
         from gavit_tpu.serving import MicroBatcher
 
-        batcher = MicroBatcher(predictor, max_wait_ms=args.coalesce_ms)
+        batcher = MicroBatcher(predictor, max_wait_ms=args.coalesce_ms,
+                               max_queue_rows=args.max_queue_rows)
         logger.info(f"Micro-batching: wait {args.coalesce_ms} ms, "
-                    f"max batch {batcher.max_batch}")
+                    f"max batch {batcher.max_batch}, "
+                    f"admission bound {batcher.max_queue_rows} rows")
 
     server = GavitHTTPServer(
         (args.host, args.port),

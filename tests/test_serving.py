@@ -526,3 +526,64 @@ def test_stats_safe_under_concurrent_predicts():
     assert pred.latency_stats()["count"] == n_threads * n_each
     st = batcher.stats()
     assert st["rows"] == n_threads * n_each
+
+
+def test_microbatcher_backpressure_queue_full():
+    """Admission bound (r4): once queued+in-flight rows exceed
+    max_queue_rows, submit raises QueueFull immediately (the serving layer
+    maps it to 503 + Retry-After); capacity frees as flushes complete and
+    admission resumes."""
+    import threading
+
+    from gavit_tpu.serving import MicroBatcher, QueueFull
+
+    class SlowPred:
+        buckets = (1,)
+        image_size = 16
+
+        def __init__(self):
+            self.started = threading.Event()
+            self.release = threading.Event()
+
+        def predict_proba(self, x):
+            self.started.set()
+            self.release.wait(10)
+            return np.ones((len(x), 14), np.float32)
+
+    pred = SlowPred()
+    batcher = MicroBatcher(pred, max_wait_ms=0.0, max_batch=1,
+                           max_queue_rows=2)
+    img = np.zeros((1, 16, 16, 3), np.uint8)
+    outs = [None] * 2
+
+    def sub(i):
+        try:
+            outs[i] = batcher.submit(img)
+        except Exception as e:  # noqa: BLE001 — asserted below
+            outs[i] = e
+
+    # request A occupies the in-flight slot (blocked in predict_proba),
+    # request B fills the last queued row: pending == bound == 2
+    t0 = threading.Thread(target=sub, args=(0,))
+    t0.start()
+    assert pred.started.wait(5)
+    t1 = threading.Thread(target=sub, args=(1,))
+    t1.start()
+    deadline = threading.Event()
+    for _ in range(100):
+        if batcher.stats()["pending_rows"] == 2:
+            break
+        deadline.wait(0.02)
+    assert batcher.stats()["pending_rows"] == 2
+    # request C is over the bound — rejected at admission, not queued
+    with np.testing.assert_raises(QueueFull):
+        batcher.submit(img)
+    assert batcher.stats()["rejected"] == 1
+    # draining the flushes frees capacity; admission resumes
+    pred.release.set()
+    t0.join(5)
+    t1.join(5)
+    assert isinstance(outs[0], np.ndarray) and isinstance(outs[1], np.ndarray)
+    assert batcher.stats()["pending_rows"] == 0
+    assert isinstance(batcher.submit(img), np.ndarray)
+    batcher.close()

@@ -35,6 +35,7 @@ import numpy as np
 def run_load(url: str, img, clients: int, requests_each: int):
     body = json.dumps(img.tolist()).encode()
     lat: list[float] = []
+    resets, shed = [0], [0]
     lock = threading.Lock()
 
     def client():
@@ -43,7 +44,22 @@ def run_load(url: str, img, clients: int, requests_each: int):
             req = urllib.request.Request(
                 url + "/predict", data=body,
                 headers={"Content-Type": "application/json"})
-            urllib.request.urlopen(req, timeout=600).read()
+            try:
+                urllib.request.urlopen(req, timeout=600).read()
+            except urllib.error.HTTPError as e:
+                # 503 = the micro-batcher's admission bound shed the request
+                # (the graceful overload path; the r3 failure was a raw
+                # connection reset from the too-shallow accept backlog)
+                with lock:
+                    if e.code == 503:
+                        shed[0] += 1
+                    else:
+                        resets[0] += 1
+                continue
+            except (ConnectionError, urllib.error.URLError, OSError):
+                with lock:
+                    resets[0] += 1
+                continue
             with lock:
                 lat.append((time.perf_counter() - t0) * 1000)
 
@@ -54,9 +70,11 @@ def run_load(url: str, img, clients: int, requests_each: int):
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0
-    arr = np.asarray(lat)
+    arr = np.asarray(lat if lat else [0.0])
     return {
         "req_per_s": round(len(lat) / wall, 1),
+        "connection_resets": resets[0],
+        "rejected_503": shed[0],
         "p50_ms": round(float(np.percentile(arr, 50)), 1),
         "p95_ms": round(float(np.percentile(arr, 95)), 1),
     }
