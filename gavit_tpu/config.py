@@ -191,6 +191,12 @@ class MoEConfig:
     # that OOM'd ViT-B b128 E=8 on a 16 GiB chip (logs/r3_moe_mem.log), at
     # the cost of re-running the expert GEMMs once in the backward
     grouped_remat: bool = True
+    # grouped engine under expert parallelism (mesh.model > 1): static
+    # per-expert buffer bound of ceil(T·factor/E) rows over the local token
+    # shard — dropless while every expert's realized load stays under
+    # factor× the mean; only the buffer is bounded, compute tracks the
+    # realized load (megablox skips the unused tail's tiles)
+    ep_capacity_factor: float = 2.0
     # auxiliary-loss weights (added to the objective by the Trainer)
     aux_weight: float = 0.01
     router_z_weight: float = 1e-3

@@ -196,16 +196,9 @@ class MoEMlp(nn.Module):
         if cfg.impl == "grouped":
             # dropless grouped-GEMM execution (ops/moe_grouped.py): no
             # capacity, ragged expert GEMMs over exactly the routed rows.
-            # Expert parallelism needs the static dense buffers — enforced
-            # at Trainer build and again here at the dispatch site.
-            from gavit_tpu.parallel.op_sharding import tp_axis_in_context
-
-            if tp_axis_in_context("model"):
-                raise ValueError(
-                    "model.moe.impl='grouped' does not compose with a >1 "
-                    "'model' mesh axis (expert/tensor parallelism needs the "
-                    "dense static-capacity path); set model.moe.impl='dense'"
-                )
+            # Under a >1 'model' mesh axis the engine runs expert-parallel:
+            # local-expert grouping into a static ep_capacity_factor-bounded
+            # buffer + one psum combine (no all-to-all — see the module doc)
             from gavit_tpu.ops.moe_grouped import sharded_grouped_moe
 
             gate_vals, gate_idx, aux = router_topk(
@@ -218,6 +211,7 @@ class MoEMlp(nn.Module):
                    else jax.random.PRNGKey(0))
             fn = functools.partial(
                 sharded_grouped_moe,
+                ep_capacity_factor=cfg.ep_capacity_factor,
                 drop=self.drop, deterministic=deterministic,
                 approx_gelu=approx)
             if cfg.grouped_remat and not deterministic:

@@ -37,9 +37,18 @@ This module is that path, TPU-first:
   against the ambient abstract mesh when the batch is sharded; autodiff
   through shard_map psums the replicated expert-weight gradients over the
   data axis automatically — the same reverse-collective story as
-  ``parallel/pp.py``/``ring.py``. Expert parallelism (experts sharded over
-  'model') stays on the dense path: ragged all-to-alls need data-dependent
-  sizes that SPMD cannot carry; the Trainer enforces the split.
+  ``parallel/pp.py``/``ring.py``.
+* **Expert parallelism without an all-to-all.** A ragged all-to-all needs
+  data-dependent sizes SPMD cannot carry — so the EP path never moves
+  tokens at all. Activations under a dp×ep mesh are already replicated
+  along 'model'; each expert shard *gathers* the rows routed to its local
+  experts into a static, capacity-bounded buffer
+  (``ceil(T·ep_capacity_factor/E)`` rows per expert — dropless within the
+  bound; megablox skips the unused tail's tiles so compute tracks the
+  *realized* load, not the bound), runs the ragged local-expert GEMMs, and
+  one ``psum`` over 'model' combines the partial outputs — the same
+  collective volume as the dense EP path's combine all-reduce, with zero
+  dispatch GEMMs and zero slot padding in the compute.
 
 Reference anchor: the reference repo has no MoE at all (dense ViTs only,
 ``/root/reference/src/models/vit.py:125-127``); this is new-framework
@@ -56,7 +65,26 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-_GMM_TILE = (128, 128, 128)
+def _gmm_tiling(m: int, k: int, n: int) -> tuple[int, int, int]:
+    """Shape-aware megablox tile sizes.
+
+    The megablox default (128,128,128) walks ~58k grid steps for one
+    ViT-B-sized gmm ([50432,768]×[8,768,3072]) and is grid-step-bound, not
+    MXU-bound: measured 42.9 ms fwd-pair vs 9.7 ms at (256,256,256) and
+    5.1 ms at (512,768,768) (tools/r4_gmm_tile_probe.py,
+    logs/r4_gmm_tiles.log). Rows are padded to tm by the caller; tk/tn
+    handle remainders natively, but powers-of-two that divide the model
+    dims (768/3072) keep every tile full. Override for experiments:
+    ``GAVIT_GMM_TILE=tm,tk,tn``.
+    """
+    env = os.environ.get("GAVIT_GMM_TILE")
+    if env:
+        tm, tk, tn = (int(v) for v in env.split(","))
+        return tm, tk, tn
+    tm = min(512, max(128, m))
+    tk = 768 if k % 768 == 0 else min(512, max(128, k))
+    tn = 768 if n % 768 == 0 else min(512, max(128, n))
+    return tm, tk, tn
 
 
 def _on_tpu() -> bool:
@@ -87,9 +115,10 @@ def ragged_matmul(x, w, group_sizes, *, impl: str = "ragged_dot",
     if impl == "megablox":
         from jax.experimental.pallas.ops.tpu.megablox.ops import gmm
 
-        pad = (-x.shape[0]) % _GMM_TILE[0]
+        tiling = _gmm_tiling(x.shape[0], x.shape[1], w.shape[2])
+        pad = (-x.shape[0]) % tiling[0]
         if pad:
-            # megablox tiles m in _GMM_TILE[0] rows; pad rows are booked to
+            # megablox tiles m in tiling[0] rows; pad rows are booked to
             # the LAST group. They read x row 0 via the inverse-permutation
             # default (never zero-filled) but no pad row is ever gathered by
             # the combine, and their backward cotangent is exactly zero, so
@@ -97,7 +126,7 @@ def ragged_matmul(x, w, group_sizes, *, impl: str = "ragged_dot",
             x = jnp.pad(x, ((0, pad), (0, 0)))
             group_sizes = group_sizes.at[-1].add(pad)
         out = gmm(x, w, group_sizes, preferred_element_type=x.dtype,
-                  tiling=_GMM_TILE, interpret=interpret)
+                  tiling=tiling, interpret=interpret)
         return out[: out.shape[0] - pad] if pad else out
     precision = (
         lax.Precision.HIGHEST if x.dtype == jnp.float32
@@ -132,6 +161,90 @@ def group_by_expert(gate_idx, num_experts: int):
     src = jnp.zeros((t,), jnp.int32).at[dest].set(
         jnp.arange(t, dtype=jnp.int32))
     return dest.reshape(gate_idx.shape), src, sizes
+
+
+def group_local_experts(gate_idx, first, e_loc: int, cap_per_expert: int):
+    """Expert-contiguous buffer rows for the LOCAL experts
+    ``[first, first + e_loc)`` of one expert-parallel shard.
+
+    Per-expert capacity clamping (not a shared-prefix clamp) keeps one hot
+    expert from cascading drops onto every later expert; kept regions pack
+    back-to-back so the buffer feeds a ragged GEMM directly.
+
+    Returns:
+      dest: int32 [T] — buffer row per (token, choice) pair; ``cap`` (one
+        past the buffer end) marks non-local or over-capacity pairs.
+      src:  int32 [cap] — inverse: source pair of each buffer row (0 for
+        rows past the kept region — their output is never read back).
+      kept: int32 [E_loc] — kept rows per local expert (≤ cap_per_expert);
+        the unused tail is booked to the last group by the caller.
+    """
+    flat = gate_idx.reshape(-1).astype(jnp.int32)
+    t = flat.shape[0]
+    cap = e_loc * cap_per_expert
+    rel = flat - jnp.int32(first)
+    local = (rel >= 0) & (rel < e_loc)
+    onehot = ((rel[:, None] == jnp.arange(e_loc, dtype=jnp.int32)[None, :])
+              & local[:, None]).astype(jnp.int32)       # [T, E_loc]
+    pos_mat = jnp.cumsum(onehot, axis=0) - onehot
+    pos = jnp.sum(pos_mat * onehot, axis=1)             # within-expert rank
+    sizes_full = jnp.sum(onehot, axis=0)                # realized load
+    kept = jnp.minimum(sizes_full, cap_per_expert)
+    offsets = jnp.cumsum(kept) - kept                   # packed, exclusive
+    dest = offsets[jnp.clip(rel, 0, e_loc - 1)] + pos
+    keep_pair = local & (pos < cap_per_expert)
+    dest = jnp.where(keep_pair, dest, cap)
+    src = jnp.zeros((cap,), jnp.int32).at[dest].set(
+        jnp.arange(t, dtype=jnp.int32), mode="drop")
+    return dest, src, kept
+
+
+def grouped_moe_mlp_ep(x, gate_vals, gate_idx, w1, b1, w2, b2, key, *,
+                       first, cap_per_expert: int, drop: float = 0.0,
+                       deterministic: bool = True, approx_gelu: bool = False,
+                       matmul_impl: str = "auto"):
+    """One expert-parallel shard's slice of the dropless MoE MLP.
+
+    ``w1/b1/w2/b2`` hold only this shard's ``E_loc`` experts; ``x`` and the
+    gates hold this shard's (replicated-along-'model') tokens. Returns the
+    PARTIAL output [G, S, D]: rows routed to remote experts contribute
+    zero — the caller psums over the expert axis.
+    """
+    g, s, d = x.shape
+    e_loc = w1.shape[0]
+    k = gate_idx.shape[-1]
+    cap = e_loc * cap_per_expert
+    impl = resolve_matmul_impl(matmul_impl)
+
+    dest, src, kept = group_local_experts(gate_idx, first, e_loc,
+                                          cap_per_expert)
+    x_sorted = x.reshape(g * s, d)[src // k]            # [cap, D] gather
+    # buffer row → local expert id (tail rows read the last expert's bias —
+    # garbage that is never gathered back and has zero cotangent)
+    bounds = jnp.cumsum(kept)
+    e_sorted = jnp.minimum(
+        jnp.searchsorted(bounds, jnp.arange(cap, dtype=jnp.int32),
+                         side="right"),
+        e_loc - 1,
+    )
+    sizes = kept.at[-1].add(cap - bounds[-1])           # book the tail
+
+    h = ragged_matmul(x_sorted, w1, sizes, impl=impl) + b1[e_sorted]
+    h = jax.nn.gelu(h, approximate=approx_gelu)
+    if not deterministic and drop > 0.0:
+        key, sub = jax.random.split(key)
+        h = _dropout(h, drop, sub)
+    y = ragged_matmul(h, w2, sizes, impl=impl) + b2[e_sorted]
+    if not deterministic and drop > 0.0:
+        key, sub = jax.random.split(key)
+        y = _dropout(y, drop, sub)
+
+    # combine: local pairs gather their buffer row, others contribute zero
+    keep_pair = (dest < cap).reshape(g, s, k)
+    y_tok = y[jnp.clip(dest, 0, cap - 1)].reshape(g, s, k, d)
+    gates = jnp.where(keep_pair, gate_vals, 0.0)
+    out = jnp.sum(gates[..., None] * y_tok.astype(jnp.float32), axis=2)
+    return out.astype(x.dtype)
 
 
 def grouped_moe_mlp(x, gate_vals, gate_idx, w1, b1, w2, b2, key, *,
@@ -180,21 +293,61 @@ def _dropout(x, rate, key):
 
 
 def sharded_grouped_moe(x, gate_vals, gate_idx, w1, b1, w2, b2, key,
-                        *, batch_axis: str = "data", **static):
-    """Run :func:`grouped_moe_mlp` shard-locally along the data axis.
+                        *, batch_axis: str = "data",
+                        expert_axis: str = "model",
+                        ep_capacity_factor: float = 2.0, **static):
+    """Run the grouped engine shard-locally over the ambient mesh.
 
-    Outside a mesh context (or when the batch axis has one shard, or does
-    not divide the batch) this is a direct call — single-device behavior is
-    untouched. Under a dp mesh, each shard groups and multiplies its own
-    rows; shard_map's reverse pass psums the replicated weight gradients
-    over the axis (the dp grad all-reduce that would otherwise happen at
-    the step level).
+    Outside a mesh context (or on a trivial mesh) this is a direct call —
+    single-device behavior is untouched. Under a dp mesh, each shard groups
+    and multiplies its own rows; shard_map's reverse pass psums the
+    replicated weight gradients over the axis (the dp grad all-reduce that
+    would otherwise happen at the step level). When the ``expert_axis``
+    ('model') has >1 shards, the expert bank additionally shards over it
+    (expert parallelism): each shard runs :func:`grouped_moe_mlp_ep` on its
+    local experts — a static buffer of ``ceil(T·ep_capacity_factor/E)``
+    rows per expert, dropless within that bound — and a psum over the
+    expert axis combines the partial outputs.
     """
     mesh = jax.sharding.get_abstract_mesh()
-    shards = mesh.shape.get(batch_axis, 1) if mesh is not None else 1
-    if shards <= 1 or x.shape[0] % shards:
+    dp = mesh.shape.get(batch_axis, 1) if mesh is not None else 1
+    ep = mesh.shape.get(expert_axis, 1) if mesh is not None else 1
+    if ep <= 1 and (dp <= 1 or x.shape[0] % dp):
         return grouped_moe_mlp(x, gate_vals, gate_idx, w1, b1, w2, b2, key,
                                **static)
+
+    if ep > 1:
+        e = w1.shape[0]
+        if e % ep:
+            raise ValueError(
+                f"num_experts={e} must divide by the '{expert_axis}' mesh "
+                f"axis ({ep}) for grouped expert parallelism")
+        if x.shape[0] % dp:
+            raise ValueError(
+                f"grouped expert parallelism needs the group dim "
+                f"({x.shape[0]}) divisible by the '{batch_axis}' axis ({dp})")
+        e_loc = e // ep
+        # per-expert static bound over the LOCAL token shard: expected load
+        # is T/E rows; the factor is slack before (per-expert) drops
+        t_local = (x.shape[0] // dp) * x.shape[1] * gate_idx.shape[-1]
+        cap_per_expert = max(1, -(-int(t_local * ep_capacity_factor) // e))
+
+        def body_ep(x, gate_vals, gate_idx, w1, b1, w2, b2, key):
+            di = lax.axis_index(batch_axis) if dp > 1 else 0
+            key = jax.random.fold_in(key, di * ep + lax.axis_index(expert_axis))
+            part = grouped_moe_mlp_ep(
+                x, gate_vals, gate_idx, w1, b1, w2, b2, key,
+                first=lax.axis_index(expert_axis) * e_loc,
+                cap_per_expert=cap_per_expert, **static)
+            return lax.psum(part, expert_axis)
+
+        data = P(batch_axis) if dp > 1 else P()
+        expert = P(expert_axis)
+        return jax.shard_map(
+            body_ep, mesh=mesh,
+            in_specs=(data, data, data, expert, expert, expert, expert, P()),
+            out_specs=data,
+        )(x, gate_vals, gate_idx, w1, b1, w2, b2, key)
 
     def body(x, gate_vals, gate_idx, w1, b1, w2, b2, key):
         # distinct dropout streams per shard; identical fwd/bwd (the saved

@@ -124,13 +124,11 @@ class Trainer:
                     f"divisible by the 'model' mesh axis "
                     f"({self.mesh.shape['model']}) for expert parallelism"
                 )
-            if moe.enabled and moe.impl == "grouped":
-                raise ValueError(
-                    "model.moe.impl='grouped' (dropless ragged GEMMs) does "
-                    "not compose with a >1 'model' mesh axis — expert "
-                    "parallelism needs the dense static-capacity buffers; "
-                    "set model.moe.impl='dense' or mesh.model=1"
-                )
+            # grouped-engine expert parallelism: the shard_map over
+            # ('data','model') in ops/moe_grouped.py::sharded_grouped_moe
+            # shards the expert bank over 'model' with a static
+            # ep_capacity_factor-bounded buffer per shard — no dense
+            # fallback needed (r4; guard removed).
             if config.mesh.sp and not getattr(model, "sp", False):
                 # sequence parallelism: token-shard the residual stream
                 # through the LN/dropout/residual segments (the constraint

@@ -4,8 +4,9 @@ Pins: the expert-grouping permutation invariants, exact forward/gradient
 agreement with a dense per-choice formulation, the dropless contract (small
 capacity factors drop tokens on the dense path but never on the grouped
 path), dp shard_map execution == single-device math, the Trainer
-composition, and the EP guard. The megablox row-padding bookkeeping is
-exercised in interpret mode.
+composition, and expert parallelism (dp×ep == single-device incl. grads;
+per-expert — not cascading — capacity drops past the ep bound). The
+megablox row-padding bookkeeping is exercised in interpret mode.
 """
 
 import dataclasses
@@ -233,20 +234,123 @@ def test_grouped_trainer_step_with_dropout_learns(tmp_path):
     assert np.abs(after - before).max() > 0.0
 
 
-def test_grouped_ep_guard(tmp_path):
-    """grouped + a >1 'model' axis fails loudly at Trainer build AND at the
-    module's dispatch site."""
-    with pytest.raises(ValueError, match="grouped"):
-        _make_trainer(tmp_path, {"data": 2, "model": 4})
+def test_group_local_experts_invariants():
+    """The EP shard's local grouping: kept rows pack back-to-back per local
+    expert, per-expert capacity clamps without cascading onto later
+    experts, and the src scatter round-trips kept pairs."""
+    from gavit_tpu.ops.moe_grouped import group_local_experts
 
-    x = jax.random.normal(jax.random.key(1), (2, 8, 16))
-    mod = MoEMlp(cfg=_moe_cfg(impl="grouped"), hidden_dim=32, out_dim=16)
-    variables = mod.init(jax.random.key(2), x)
+    rng = np.random.RandomState(0)
+    gi = jnp.array(rng.randint(0, 8, (3, 11, 2)), jnp.int32)
+    first, e_loc, cpe = 2, 4, 5           # local experts [2, 6), cap 5 each
+    dest, src, kept = group_local_experts(gi, first, e_loc, cpe)
+    dest, src, kept = map(np.asarray, (dest, src, kept))
+    flat = np.asarray(gi).reshape(-1)
+    cap = e_loc * cpe
+    # per-expert kept = min(realized, cap) — independent of other experts
+    realized = np.bincount(flat, minlength=8)[first:first + e_loc]
+    np.testing.assert_array_equal(kept, np.minimum(realized, cpe))
+    offsets = np.cumsum(kept) - kept
+    kept_pairs = dest < cap
+    # every kept pair is local; dest values are unique and expert-packed
+    assert (flat[kept_pairs] >= first).all()
+    assert (flat[kept_pairs] < first + e_loc).all()
+    assert len(set(dest[kept_pairs])) == kept_pairs.sum() == kept.sum()
+    for e in range(e_loc):
+        rows = dest[kept_pairs & (flat == first + e)]
+        assert set(rows) == set(range(offsets[e], offsets[e] + kept[e]))
+    # src inverts dest on the kept region
+    np.testing.assert_array_equal(
+        src[dest[kept_pairs]], np.flatnonzero(kept_pairs))
+    # non-local pairs are parked at cap
+    assert (dest[~kept_pairs] == cap).all()
+
+
+def test_grouped_ep_matches_single_device():
+    """dp2×ep4: the expert-parallel grouped engine (local-expert grouping,
+    capacity-bounded buffer, psum combine — no all-to-all) reproduces the
+    unsharded grouped forward AND gradients exactly when nothing drops."""
+    from gavit_tpu.ops.moe_grouped import sharded_grouped_moe
+
+    x, gv, gi, weights = _toy(g=8)
+    key = jax.random.PRNGKey(0)
+
+    def loss(x, gv, w):
+        out = sharded_grouped_moe(x, gv, gi_dev, *w, key,
+                                  ep_capacity_factor=4.0)
+        return jnp.sum(out ** 2)
+
+    gi_dev = gi
+    ref_l, ref_g = jax.value_and_grad(loss, argnums=(0, 2))(x, gv, weights)
+
     mesh = make_mesh(MeshConfig(data=2, model=4))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    gvs = jax.device_put(gv, NamedSharding(mesh, P("data")))
+    gi_dev = jax.device_put(gi, NamedSharding(mesh, P("data")))
+    ws = tuple(jax.device_put(w, NamedSharding(mesh, P("model")))
+               for w in weights)
     with jax.set_mesh(mesh):
-        with pytest.raises(ValueError, match="grouped"):
-            jax.jit(lambda v, x: mod.apply(v, x, deterministic=True))(
-                variables, x)
+        out_l, out_g = jax.jit(jax.value_and_grad(loss, argnums=(0, 2)))(
+            xs, gvs, ws)
+    np.testing.assert_allclose(float(out_l), float(ref_l), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(out_g), jax.tree.leaves(ref_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_grouped_ep_capacity_drops_are_per_expert():
+    """Past the ep_capacity_factor bound an overloaded expert drops its
+    over-capacity pairs (per-expert — not cascading); the computed output
+    equals the dense reference with those pairs' gates zeroed."""
+    from gavit_tpu.ops.moe_grouped import grouped_moe_mlp_ep
+
+    x, gv, _, weights = _toy(g=2, s=8, e=4)
+    # expert 0 is hot (all 16 first choices); second choices spread over
+    # experts 1-3 (5-6 pairs each, comfortably under the bound)
+    second = (np.arange(16).reshape(2, 8) % 3 + 1).astype(np.int32)
+    gi = jnp.stack([jnp.zeros((2, 8), jnp.int32), jnp.asarray(second)],
+                   axis=-1)
+    cpe = 10                                 # expert 0 keeps 10, drops 6
+    out = grouped_moe_mlp_ep(x, gv, gi, *weights, jax.random.PRNGKey(0),
+                             first=0, cap_per_expert=cpe)
+    # reference: gates of the dropped pairs (within-expert rank >= cpe,
+    # token-major order) zeroed — the cold experts keep ALL their pairs
+    rank0 = np.arange(16).reshape(2, 8)      # expert 0 pair ranks
+    gv_ref = np.asarray(gv).copy()
+    gv_ref[..., 0] = np.where(rank0 < cpe, gv_ref[..., 0], 0.0)
+    ref = _dense_equiv(x, jnp.asarray(gv_ref), gi, weights, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_grouped_trainer_ep_matches_single_device(tmp_path):
+    """A dp2×ep4 Trainer step with the grouped engine reproduces the
+    single-device update (the r3 guard is gone — VERDICT #5)."""
+    from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
+
+    images, labels = next(iter(DataLoader(
+        SyntheticChestXrayDataset(size=16, image_size=16, seed=0), 16,
+        num_workers=0,
+    )))
+    results = {}
+    for name, mesh_cfg in [("dp1", {"data": 1, "model": 1}),
+                           ("dp2ep4", {"data": 2, "model": 4})]:
+        tr = _make_trainer(tmp_path / name, mesh_cfg, remat=True)
+        batch = shard_batch(tr.mesh, (images, labels))
+        state, metrics, _ = tr._train_step(tr.state, tr.base_rng, *batch)
+        state, metrics, _ = tr._train_step(state, tr.base_rng, *batch)
+        results[name] = (state, float(metrics["loss"]))
+    (s1, l1), (s8, l8) = results["dp1"], results["dp2ep4"]
+    np.testing.assert_allclose(l8, l1, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s8.params["model"]["blocks_1"]["moe"]["fc1_kernel"]),
+        np.asarray(s1.params["model"]["blocks_1"]["moe"]["fc1_kernel"]),
+        atol=5e-5)
+
+
+def test_grouped_ep_indivisible_expert_count_fails_loudly(tmp_path):
+    """num_experts must divide by the 'model' axis — caught at Trainer
+    build, not as an opaque GSPMD error."""
+    with pytest.raises(ValueError, match="divisible"):
+        _make_trainer(tmp_path, {"data": 1, "model": 8})  # 4 experts / 8
 
 
 def test_upcycled_grouped_equals_dense_forward():
