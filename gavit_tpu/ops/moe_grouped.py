@@ -58,6 +58,7 @@ numpy loop and the dense einsum path (``tests/test_moe_grouped.py``).
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -134,6 +135,61 @@ def ragged_matmul(x, w, group_sizes, *, impl: str = "ragged_dot",
     )
     return lax.ragged_dot(x, w, group_sizes, precision=precision,
                           preferred_element_type=x.dtype)
+
+
+# -- permutation gathers with gather transposes ---------------------------
+#
+# The dispatch (token rows → expert-sorted buffer) and combine (buffer rows
+# → token·choice rows) moves are gathers whose autodiff transpose XLA emits
+# as scatter-adds — serialized row updates on TPU, measured as a large
+# chunk of the grouped engine's r4 gap vs the dense engine. Both index maps
+# carry their exact inverse (``dest``/``src`` from the grouping), so the
+# custom VJPs below express each transpose as a gather by the inverse map
+# (+ a k-way reduce for dispatch). No scatter survives in the hot path.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _dispatch_rows(x_flat, src_tok, dest, k: int):
+    """``x_flat[src_tok]`` ([cap, D]); ``dest`` [T] is the inverse map
+    (buffer row per (token, choice) pair; == cap for non-kept pairs)."""
+    return x_flat[src_tok]
+
+
+def _dispatch_rows_fwd(x_flat, src_tok, dest, k: int):
+    return x_flat[src_tok], dest
+
+
+def _dispatch_rows_bwd(k: int, dest, g):
+    cap = g.shape[0]
+    n_tok = dest.shape[0] // k
+    keep = dest < cap
+    dx = jnp.where(keep[:, None], g[jnp.minimum(dest, cap - 1)], 0)
+    return dx.reshape(n_tok, k, -1).sum(axis=1), None, None
+
+
+_dispatch_rows.defvjp(_dispatch_rows_fwd, _dispatch_rows_bwd)
+
+
+@jax.custom_vjp
+def _combine_rows(y, dest, src, used_mask):
+    """``y[dest]`` masked to kept pairs ([T, D]); ``src``/``used_mask``
+    [cap] invert the map for the transpose (src of unused rows is 0 — the
+    mask zeroes them)."""
+    safe = jnp.minimum(dest, y.shape[0] - 1)
+    return jnp.where((dest < y.shape[0])[:, None], y[safe], 0)
+
+
+def _combine_rows_fwd(y, dest, src, used_mask):
+    return _combine_rows(y, dest, src, used_mask), (src, used_mask)
+
+
+def _combine_rows_bwd(res, g):
+    src, used_mask = res
+    dy = jnp.where(used_mask[:, None], g[src], 0)
+    return dy, None, None, None
+
+
+_combine_rows.defvjp(_combine_rows_fwd, _combine_rows_bwd)
 
 
 def group_by_expert(gate_idx, num_experts: int):
@@ -218,7 +274,7 @@ def grouped_moe_mlp_ep(x, gate_vals, gate_idx, w1, b1, w2, b2, key, *,
 
     dest, src, kept = group_local_experts(gate_idx, first, e_loc,
                                           cap_per_expert)
-    x_sorted = x.reshape(g * s, d)[src // k]            # [cap, D] gather
+    x_sorted = _dispatch_rows(x.reshape(g * s, d), src // k, dest, k)
     # buffer row → local expert id (tail rows read the last expert's bias —
     # garbage that is never gathered back and has zero cotangent)
     bounds = jnp.cumsum(kept)
@@ -240,10 +296,10 @@ def grouped_moe_mlp_ep(x, gate_vals, gate_idx, w1, b1, w2, b2, key, *,
         y = _dropout(y, drop, sub)
 
     # combine: local pairs gather their buffer row, others contribute zero
-    keep_pair = (dest < cap).reshape(g, s, k)
-    y_tok = y[jnp.clip(dest, 0, cap - 1)].reshape(g, s, k, d)
-    gates = jnp.where(keep_pair, gate_vals, 0.0)
-    out = jnp.sum(gates[..., None] * y_tok.astype(jnp.float32), axis=2)
+    # (the parked tail is masked out of the transpose by used_rows)
+    used_rows = jnp.arange(cap, dtype=jnp.int32) < bounds[-1]
+    y_tok = _combine_rows(y, dest, src, used_rows).reshape(g, s, k, d)
+    out = jnp.sum(gate_vals[..., None] * y_tok.astype(jnp.float32), axis=2)
     return out.astype(x.dtype)
 
 
@@ -267,7 +323,8 @@ def grouped_moe_mlp(x, gate_vals, gate_idx, w1, b1, w2, b2, key, *,
     impl = resolve_matmul_impl(matmul_impl)
 
     dest, src, sizes = group_by_expert(gate_idx, e)
-    x_sorted = x.reshape(g * s, d)[src // k]                # [T, D] gather
+    x_sorted = _dispatch_rows(x.reshape(g * s, d), src // k,
+                              dest.reshape(-1), k)          # [T, D] gather
     e_sorted = gate_idx.reshape(-1)[src]                    # [T]
 
     h = ragged_matmul(x_sorted, w1, sizes, impl=impl) + b1[e_sorted]
@@ -281,7 +338,9 @@ def grouped_moe_mlp(x, gate_vals, gate_idx, w1, b1, w2, b2, key, *,
         y = _dropout(y, drop, sub)
 
     # combine: token t's output is the fp32 gate-weighted sum of its k rows
-    y_tok = y[dest.reshape(-1)].reshape(g, s, k, d)
+    y_tok = _combine_rows(
+        y, dest.reshape(-1), src,
+        jnp.ones((g * s * k,), bool)).reshape(g, s, k, d)
     out = jnp.sum(gate_vals[..., None] * y_tok.astype(jnp.float32), axis=2)
     return out.astype(x.dtype)
 
@@ -343,10 +402,15 @@ def sharded_grouped_moe(x, gate_vals, gate_idx, w1, b1, w2, b2, key,
 
         data = P(batch_axis) if dp > 1 else P()
         expert = P(expert_axis)
+        # check_vma=False: the custom-VJP permutation gathers hide the
+        # varying-axis info vma inference needs; the transpose then psums
+        # cotangents over every unmentioned axis (the pp.py/ring.py
+        # convention) — dp×ep grads == single-device is pinned by
+        # tests/test_moe_grouped.py
         return jax.shard_map(
             body_ep, mesh=mesh,
             in_specs=(data, data, data, expert, expert, expert, expert, P()),
-            out_specs=data,
+            out_specs=data, check_vma=False,
         )(x, gate_vals, gate_idx, w1, b1, w2, b2, key)
 
     def body(x, gate_vals, gate_idx, w1, b1, w2, b2, key):

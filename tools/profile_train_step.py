@@ -31,13 +31,12 @@ from gavit_tpu.training import Trainer
 STEPS = 5
 
 
-def build():
-    img, bs = 224, 128
+def build(model_name="vit_base_16", img=224, bs=128, adjacency="knn"):
     cfg = from_dict({
-        "model": {"name": "vit_base_16", "img_size": img, "patch_size": 16,
+        "model": {"name": model_name, "img_size": img, "patch_size": 16,
                   "num_classes": 14, "drop_rate": 0.1,
                   "graph": {"enabled": True, "num_blocks": 2,
-                            "adjacency": "knn", "k": 8, "dynamic": True}},
+                            "adjacency": adjacency, "k": 8, "dynamic": True}},
         "data": {"batch_size": bs, "image_size": img},
         "training": {"epochs": 10, "warmup_epochs": 1, "precision": "bf16"},
     })
@@ -136,7 +135,19 @@ def report(dev):
 
 
 if __name__ == "__main__":
-    logdir = "/tmp/gavit_prof"
-    tr, batch = build()
-    capture(tr, batch, logdir)
-    report(op_rows(logdir))
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="vit_base_16")
+    ap.add_argument("--img", type=int, default=224)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--adjacency", default="knn",
+                    help="graph adjacency (the 384px headline config uses "
+                         "learned_static)")
+    ap.add_argument("--logdir", default="/tmp/gavit_prof")
+    args = ap.parse_args()
+    print(f"profiling {args.model} img={args.img} b{args.batch} "
+          f"adjacency={args.adjacency}", flush=True)
+    tr, batch = build(args.model, args.img, args.batch, args.adjacency)
+    capture(tr, batch, args.logdir)
+    report(op_rows(args.logdir))
