@@ -82,7 +82,13 @@ def _gmm_tiling(m: int, k: int, n: int) -> tuple[int, int, int]:
     if env:
         tm, tk, tn = (int(v) for v in env.split(","))
         return tm, tk, tn
-    tm = min(512, max(128, m))
+    # prefer a tile that DIVIDES m: the host-side pad/slice copies of the
+    # [m, k] operand measured ~20 ms/step at ViT-B b128 (T=50432 = 256·197,
+    # so 256 pads nothing; 512 pads 256 rows per gmm call). (256,768,768)
+    # vs (512,768,768) isolated: 10.44 vs 10.16 ms — the pad removal is
+    # worth far more than the 3% kernel delta.
+    tm = next((t for t in (512, 256, 128) if m % t == 0),
+              min(512, max(128, m)))
     tk = 768 if k % 768 == 0 else min(512, max(128, k))
     tn = 768 if n % 768 == 0 else min(512, max(128, n))
     return tm, tk, tn
@@ -148,48 +154,74 @@ def ragged_matmul(x, w, group_sizes, *, impl: str = "ragged_dot",
 # (+ a k-way reduce for dispatch). No scatter survives in the hot path.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _dispatch_rows(x_flat, src_tok, dest, k: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _dispatch_rows(x_flat, src_tok, dest, k: int, masked: bool):
     """``x_flat[src_tok]`` ([cap, D]); ``dest`` [T] is the inverse map
-    (buffer row per (token, choice) pair; == cap for non-kept pairs)."""
+    (buffer row per (token, choice) pair; == cap for non-kept pairs).
+    ``masked=False`` (the dropless non-EP path, where every pair is kept)
+    skips the keep-select entirely — [T, D] selects measured ~40 ms/step
+    of pure overhead in the r4 profile."""
     return x_flat[src_tok]
 
 
-def _dispatch_rows_fwd(x_flat, src_tok, dest, k: int):
+def _dispatch_rows_fwd(x_flat, src_tok, dest, k: int, masked: bool):
     return x_flat[src_tok], dest
 
 
-def _dispatch_rows_bwd(k: int, dest, g):
+def _dispatch_rows_bwd(k: int, masked: bool, dest, g):
     cap = g.shape[0]
     n_tok = dest.shape[0] // k
-    keep = dest < cap
-    dx = jnp.where(keep[:, None], g[jnp.minimum(dest, cap - 1)], 0)
+    if masked:
+        dx = jnp.where((dest < cap)[:, None], g[jnp.minimum(dest, cap - 1)],
+                       0)
+    else:
+        dx = g[dest]
     return dx.reshape(n_tok, k, -1).sum(axis=1), None, None
 
 
 _dispatch_rows.defvjp(_dispatch_rows_fwd, _dispatch_rows_bwd)
 
 
-@jax.custom_vjp
-def _combine_rows(y, dest, src, used_mask):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _combine_rows(y, dest, src, used_mask, masked: bool):
     """``y[dest]`` masked to kept pairs ([T, D]); ``src``/``used_mask``
     [cap] invert the map for the transpose (src of unused rows is 0 — the
-    mask zeroes them)."""
+    mask zeroes them). ``masked=False`` = the dropless non-EP path: dest
+    is a permutation, every buffer row used — no selects."""
+    if not masked:
+        return y[dest]
     safe = jnp.minimum(dest, y.shape[0] - 1)
     return jnp.where((dest < y.shape[0])[:, None], y[safe], 0)
 
 
-def _combine_rows_fwd(y, dest, src, used_mask):
-    return _combine_rows(y, dest, src, used_mask), (src, used_mask)
+def _combine_rows_fwd(y, dest, src, used_mask, masked: bool):
+    return _combine_rows(y, dest, src, used_mask, masked), (src, used_mask)
 
 
-def _combine_rows_bwd(res, g):
+def _combine_rows_bwd(masked: bool, res, g):
     src, used_mask = res
-    dy = jnp.where(used_mask[:, None], g[src], 0)
+    dy = g[src]
+    if masked:
+        dy = jnp.where(used_mask[:, None], dy, 0)
     return dy, None, None, None
 
 
 _combine_rows.defvjp(_combine_rows_fwd, _combine_rows_bwd)
+
+
+def _range_onehot(bounds, sizes, t: int, dtype):
+    """[T, E] one-hot of each buffer row's expert, from the packed group
+    ranges (no gather): row r belongs to expert e iff
+    ``bounds[e] - sizes[e] <= r < bounds[e]``. Rows past ``bounds[-1]``
+    (the parked EP tail) get an all-zero row — no bias, by design.
+
+    Used to add the per-expert biases as a [T,E]×[E,F] GEMM: the autodiff
+    transpose is then the db = onehotᵀ·g GEMM instead of the [T,F]→[E,F]
+    scatter-add XLA emits for ``b[e_sorted]`` (measured ~27 ms/step, r4
+    profile)."""
+    r = jnp.arange(t, dtype=jnp.int32)[:, None]
+    oh = (r >= (bounds - sizes)[None, :]) & (r < bounds[None, :])
+    return lax.stop_gradient(oh.astype(dtype))
 
 
 def group_by_expert(gate_idx, num_experts: int):
@@ -274,23 +306,23 @@ def grouped_moe_mlp_ep(x, gate_vals, gate_idx, w1, b1, w2, b2, key, *,
 
     dest, src, kept = group_local_experts(gate_idx, first, e_loc,
                                           cap_per_expert)
-    x_sorted = _dispatch_rows(x.reshape(g * s, d), src // k, dest, k)
-    # buffer row → local expert id (tail rows read the last expert's bias —
-    # garbage that is never gathered back and has zero cotangent)
+    x_sorted = _dispatch_rows(x.reshape(g * s, d), src // k, dest, k, True)
     bounds = jnp.cumsum(kept)
-    e_sorted = jnp.minimum(
-        jnp.searchsorted(bounds, jnp.arange(cap, dtype=jnp.int32),
-                         side="right"),
-        e_loc - 1,
-    )
     sizes = kept.at[-1].add(cap - bounds[-1])           # book the tail
+    # biases as a range-onehot GEMM (parked tail rows get zero bias —
+    # they are garbage that is never gathered back)
+    oh = _range_onehot(bounds, kept, cap, x.dtype)
+    prec = (lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else lax.Precision.DEFAULT)
 
-    h = ragged_matmul(x_sorted, w1, sizes, impl=impl) + b1[e_sorted]
+    h = ragged_matmul(x_sorted, w1, sizes, impl=impl) \
+        + jnp.dot(oh, b1, precision=prec)
     h = jax.nn.gelu(h, approximate=approx_gelu)
     if not deterministic and drop > 0.0:
         key, sub = jax.random.split(key)
         h = _dropout(h, drop, sub)
-    y = ragged_matmul(h, w2, sizes, impl=impl) + b2[e_sorted]
+    y = ragged_matmul(h, w2, sizes, impl=impl) \
+        + jnp.dot(oh, b2, precision=prec)
     if not deterministic and drop > 0.0:
         key, sub = jax.random.split(key)
         y = _dropout(y, drop, sub)
@@ -298,7 +330,7 @@ def grouped_moe_mlp_ep(x, gate_vals, gate_idx, w1, b1, w2, b2, key, *,
     # combine: local pairs gather their buffer row, others contribute zero
     # (the parked tail is masked out of the transpose by used_rows)
     used_rows = jnp.arange(cap, dtype=jnp.int32) < bounds[-1]
-    y_tok = _combine_rows(y, dest, src, used_rows).reshape(g, s, k, d)
+    y_tok = _combine_rows(y, dest, src, used_rows, True).reshape(g, s, k, d)
     out = jnp.sum(gate_vals[..., None] * y_tok.astype(jnp.float32), axis=2)
     return out.astype(x.dtype)
 
@@ -324,23 +356,28 @@ def grouped_moe_mlp(x, gate_vals, gate_idx, w1, b1, w2, b2, key, *,
 
     dest, src, sizes = group_by_expert(gate_idx, e)
     x_sorted = _dispatch_rows(x.reshape(g * s, d), src // k,
-                              dest.reshape(-1), k)          # [T, D] gather
-    e_sorted = gate_idx.reshape(-1)[src]                    # [T]
+                              dest.reshape(-1), k, False)   # [T, D] gather
+    # biases as a range-onehot GEMM: transpose = db GEMM, not a scatter-add
+    bounds = jnp.cumsum(sizes)
+    oh = _range_onehot(bounds, sizes, x_sorted.shape[0], x.dtype)
+    prec = (lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else lax.Precision.DEFAULT)
 
-    h = ragged_matmul(x_sorted, w1, sizes, impl=impl) + b1[e_sorted]
+    h = ragged_matmul(x_sorted, w1, sizes, impl=impl) \
+        + jnp.dot(oh, b1, precision=prec)
     h = jax.nn.gelu(h, approximate=approx_gelu)
     if not deterministic and drop > 0.0:
         key, sub = jax.random.split(key)
         h = _dropout(h, drop, sub)
-    y = ragged_matmul(h, w2, sizes, impl=impl) + b2[e_sorted]
+    y = ragged_matmul(h, w2, sizes, impl=impl) \
+        + jnp.dot(oh, b2, precision=prec)
     if not deterministic and drop > 0.0:
         key, sub = jax.random.split(key)
         y = _dropout(y, drop, sub)
 
     # combine: token t's output is the fp32 gate-weighted sum of its k rows
     y_tok = _combine_rows(
-        y, dest.reshape(-1), src,
-        jnp.ones((g * s * k,), bool)).reshape(g, s, k, d)
+        y, dest.reshape(-1), src, src, False).reshape(g, s, k, d)
     out = jnp.sum(gate_vals[..., None] * y_tok.astype(jnp.float32), axis=2)
     return out.astype(x.dtype)
 

@@ -31,12 +31,17 @@ from gavit_tpu.training import Trainer
 STEPS = 5
 
 
-def build(model_name="vit_base_16", img=224, bs=128, adjacency="knn"):
+def build(model_name="vit_base_16", img=224, bs=128, adjacency="knn",
+          moe_impl=""):
+    model = {"name": model_name, "img_size": img, "patch_size": 16,
+             "num_classes": 14, "drop_rate": 0.1,
+             "graph": {"enabled": True, "num_blocks": 2,
+                       "adjacency": adjacency, "k": 8, "dynamic": True}}
+    if moe_impl:
+        model["moe"] = {"enabled": True, "num_experts": 8, "k": 2,
+                        "every": 2, "impl": moe_impl}
     cfg = from_dict({
-        "model": {"name": model_name, "img_size": img, "patch_size": 16,
-                  "num_classes": 14, "drop_rate": 0.1,
-                  "graph": {"enabled": True, "num_blocks": 2,
-                            "adjacency": adjacency, "k": 8, "dynamic": True}},
+        "model": model,
         "data": {"batch_size": bs, "image_size": img},
         "training": {"epochs": 10, "warmup_epochs": 1, "precision": "bf16"},
     })
@@ -86,6 +91,7 @@ def op_rows(logdir):
 
 
 _SITES = (
+    ("moe", re.compile(r"moe|gmm|ragged|router|expert|group_")),
     ("attn", re.compile(r"/attn[/_]|fused_qkv|attention")),
     ("dropout", re.compile(r"dropout")),
     ("mlp/fc1", re.compile(r"mlp/fc1|gelu")),
@@ -144,10 +150,14 @@ if __name__ == "__main__":
     ap.add_argument("--adjacency", default="knn",
                     help="graph adjacency (the 384px headline config uses "
                          "learned_static)")
+    ap.add_argument("--moe", default="",
+                    help="profile the MoE family: 'dense' or 'grouped' "
+                         "(E=8 k=2 every=2 — the BASELINE.md MoE config)")
     ap.add_argument("--logdir", default="/tmp/gavit_prof")
     args = ap.parse_args()
     print(f"profiling {args.model} img={args.img} b{args.batch} "
-          f"adjacency={args.adjacency}", flush=True)
-    tr, batch = build(args.model, args.img, args.batch, args.adjacency)
+          f"adjacency={args.adjacency} moe={args.moe or 'off'}", flush=True)
+    tr, batch = build(args.model, args.img, args.batch, args.adjacency,
+                      args.moe)
     capture(tr, batch, args.logdir)
     report(op_rows(args.logdir))
