@@ -187,10 +187,13 @@ class MoEConfig:
     normalize_gates: bool = True
     # rematerialise the grouped engine's expert computation in the backward
     # ('grouped' impl only): the [T, hidden] ragged-GEMM residuals never
-    # persist between forward and backward, closing the ~1.2 GiB temp gap
-    # that OOM'd ViT-B b128 E=8 on a 16 GiB chip (logs/r3_moe_mem.log), at
-    # the cost of re-running the expert GEMMs once in the backward
-    grouped_remat: bool = True
+    # persist between forward and backward (~1.5 GiB at ViT-B b128 E=8), at
+    # the cost of re-running the expert GEMMs once (+33 ms/step measured).
+    # Default off since the r4 machinery fixes shrank the non-remat
+    # footprint back under a 16 GiB chip at the flagship MoE config
+    # (261.8 ms/step vs dense 283.8 — BASELINE.md); flip on when a bigger
+    # config OOMs
+    grouped_remat: bool = False
     # grouped engine under expert parallelism (mesh.model > 1): static
     # per-expert buffer bound of ceil(T·factor/E) rows over the local token
     # shard — dropless while every expert's realized load stays under

@@ -40,6 +40,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="dense",
                     choices=["dense", "grouped"])
+    ap.add_argument("--no-remat", action="store_true",
+                    help="grouped_remat=false: store the ragged-GEMM "
+                         "residuals instead of recomputing (r4: the "
+                         "machinery fixes shrank temps — probe whether the "
+                         "non-remat program fits again)")
     args = ap.parse_args()
     import gavit_tpu
 
@@ -66,7 +71,8 @@ def main():
                       "k": 8 if on_tpu else 3, "dynamic": True},
             "moe": {"enabled": True, "num_experts": 8, "k": 2,
                     "capacity_factor": 1.25, "every": 2,
-                    "impl": args.impl},
+                    "impl": args.impl,
+                    "grouped_remat": not args.no_remat},
         },
         "data": {"batch_size": train_batch, "image_size": img},
         "training": {"epochs": 10, "warmup_epochs": 1,
