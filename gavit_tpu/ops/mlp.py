@@ -53,24 +53,46 @@ def _prec(dtype):
 
 import os
 
-# 16 MB measured fastest: raising the Mosaic VMEM cap to 100 MB REGRESSED
-# the train step 1.5-3 ms (r3 probe4 bisect — looser buffer policy hurts
-# pipelining more than the headroom helps). At 16 MB the ViT-B working set
-# (both weights resident, 9.4 MB + bm=64 streaming blocks) still fits.
+# 16 MB measured fastest when the working set fits: raising the Mosaic VMEM
+# cap to 100 MB REGRESSED the train step 1.5-3 ms (r3 probe4 bisect —
+# looser buffer policy hurts pipelining more than the headroom helps). At
+# 16 MB the ViT-B working set (both weights resident, 9.4 MB + bm=64
+# streaming blocks) still fits. Larger models (ViT-L: 16.8 MB of weights
+# alone) get the MINIMAL raise that fits instead of the unfused fallback —
+# measured 213.0 vs 240.5 ms/step at ViT-L b64 (r4, logs/r4_queue2.log) —
+# bounded by GAVIT_MLP_VMEM_MB_MAX.
 _VMEM_LIMIT = int(os.environ.get("GAVIT_MLP_VMEM_MB", "16")) * 1024 * 1024
 _VMEM_BUDGET = int(0.8 * _VMEM_LIMIT)
+_VMEM_MAX = int(os.environ.get("GAVIT_MLP_VMEM_MB_MAX", "48")) * 1024 * 1024
+
+
+def _vmem_need(bm: int, d: int, f: int, itemsize: int) -> int:
+    fixed = (d * f + f * d) * itemsize + (f + d) * 4
+    # double-buffered streaming blocks + fp32 temporaries (h1, gelu,
+    # random bits) — a deliberate overestimate; Mosaic reuses temps
+    per_row = 2 * (2 * d * itemsize + f * itemsize) + 3 * f * 4
+    return fixed + bm * per_row
+
+
+def vmem_limit_for(bm: int, d: int, f: int, itemsize: int) -> int:
+    """Mosaic vmem_limit_bytes for this call: the measured-best floor when
+    the working set fits it, else the minimal raise that fits (whole MBs)."""
+    need = _vmem_need(bm, d, f, itemsize)
+    if need <= _VMEM_BUDGET:
+        return _VMEM_LIMIT
+    return -(-int(need / 0.8) // (1024 * 1024)) * 1024 * 1024
 
 
 def pick_block(m: int, d: int, f: int, itemsize: int) -> int | None:
     """Largest row block that (a) divides ``m`` exactly — block rows never
     cross the array edge, so the backward's bias accumulation sums no
-    out-of-bounds garbage — and (b) fits the VMEM budget with both weights
-    resident. None → caller must use the unfused path."""
+    out-of-bounds garbage — and (b) fits the VMEM bound (the 16 MB floor,
+    stretched to GAVIT_MLP_VMEM_MB_MAX for over-16-MB weight sets — see
+    vmem_limit_for). None → caller must use the unfused path."""
     env = os.environ.get("GAVIT_MLP_BM")
     if env:
         bm = int(env)
         return bm if m % bm == 0 else None
-    fixed = (d * f + f * d) * itemsize + (f + d) * 4
     # 64 first: measured best at ViT-B b128 (fwd+bwd 6.03 ms vs 6.27 at 128,
     # 8.46 at 256 — BASELINE.md r3 sweep); larger blocks only if 64 ∤ m.
     # No tails below 32: bm=16 wins ISOLATED at 384px (4.21 vs 4.58 ms at
@@ -82,10 +104,7 @@ def pick_block(m: int, d: int, f: int, itemsize: int) -> int | None:
     for bm in (64, 128, 256, 512, 32):
         if m % bm:
             continue
-        # double-buffered streaming blocks + fp32 temporaries (h1, gelu,
-        # random bits) — a deliberate overestimate; Mosaic reuses temps
-        per_row = 2 * (2 * d * itemsize + f * itemsize) + 3 * f * 4
-        if fixed + bm * per_row <= _VMEM_BUDGET:
+        if _vmem_need(bm, d, f, itemsize) <= int(0.8 * _VMEM_MAX):
             return bm
     return None
 
@@ -236,7 +255,7 @@ def _run_fwd(x2, w1, b1, w2, b2, seed, rate, out_rate, bm, add_bias2=True):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=_VMEM_LIMIT,
+            vmem_limit_bytes=vmem_limit_for(bm, d, f, x2.dtype.itemsize),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * m * d * f,
@@ -280,7 +299,7 @@ def _run_bwd(dy2, h1, w2, seed, rate, out_rate, bm):
         compiler_params=pltpu.CompilerParams(
             # sequential grid: the bias-grad outputs accumulate across steps
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_VMEM_LIMIT,
+            vmem_limit_bytes=vmem_limit_for(bm, d, f, dy2.dtype.itemsize),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * d * f,
@@ -619,7 +638,7 @@ def _mlp_infer_impl(x2, w1, b1r, w2, b2r, approximate):
         out_shape=jax.ShapeDtypeStruct((m, d), x2.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=_VMEM_LIMIT,
+            vmem_limit_bytes=vmem_limit_for(bm, d, f, x2.dtype.itemsize),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * m * d * f,
