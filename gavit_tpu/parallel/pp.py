@@ -14,8 +14,14 @@ stage with ``lax.ppermute`` over ICI. Autodiff through scan + ppermute
 yields the reverse pipeline for the backward pass — no hand-written
 schedule.
 
-Scope (asserted): the homogeneous trunk only — graph blocks interleave
-mid-trunk and stay on the dp/tp paths; blocks run deterministic (pipeline
+Scope (asserted): the GRAPH-AUGMENTED trunk pipelines too (r4) — dynamic
+graph blocks recompute their adjacency from their own input, so each is
+stage-local: the stacked graph params replicate across stages and the
+owning stage applies its site(s) inside the layer scan via ``lax.cond``.
+Static-adjacency graph configs stay on dp/tp (the adjacency computed at
+the first site is CACHED across later sites in the sequential model —
+that cache would have to ride the pipeline). MoE trunks stay on dp/EP
+(heterogeneous block stack). Blocks run deterministic (pipeline
 inference / frozen-trunk settings) with the XLA attention impl (the fused
 kernels' GSPMD partitioning rules do not apply inside a manual shard_map
 region). Embedding (patch + cls + pos) and the head (LN + linear) run
@@ -117,20 +123,37 @@ def _block_apply(cfg: ModelConfig, dtype, p, x):
     return blk.apply({"params": p}, x, True)
 
 
+def _graph_apply(cfg: ModelConfig, dtype, p, x):
+    from gavit_tpu.models.graph import GraphBlock
+
+    gb = GraphBlock(
+        dim=cfg.embed_dim, cfg=cfg.graph, num_patches=x.shape[1] - 1,
+        dtype=dtype, impl="reference",
+    )
+    y, _ = gb.apply({"params": p}, x, adj=None, deterministic=True)
+    return y
+
+
 def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
                    num_microbatches: int, dtype=jnp.float32):
     """Forward pass with the trunk pipelined over mesh axis 'pipe'.
 
-    ``params`` is the plain VisionTransformer tree (graph disabled). The
+    ``params`` is the plain VisionTransformer tree (graph_j keys included
+    when the config interleaves dynamic graph blocks). The
     batch is split into ``num_microbatches`` GPipe microbatches; stage s
     processes microbatch m at tick m + s, activations ride ``ppermute``
     between consecutive stages, and the last stage's outputs are psum-
     broadcast back (zeros everywhere else) for the replicated head.
     Differentiable end to end.
     """
-    if cfg.graph.enabled:
-        raise ValueError("pipeline trunk requires graph.enabled=False "
-                         "(graph blocks interleave mid-trunk; use dp/tp)")
+    if cfg.graph.enabled and not cfg.graph.dynamic:
+        raise ValueError(
+            "pipeline trunk supports graph.dynamic=True only: a static "
+            "adjacency is computed once at the FIRST graph site and cached "
+            "across later ones (models/vit.py:134-143) — that cache would "
+            "have to ride the pipeline between stages; dynamic graph "
+            "blocks recompute from their own input and are stage-local"
+        )
     if cfg.moe.enabled:
         raise ValueError("pipeline trunk requires moe.enabled=False "
                          "(the stacked-layer scan needs a homogeneous "
@@ -144,18 +167,42 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
         raise ValueError(f"batch {b} / microbatches {M} / stages {S}: need "
                          "M | b and M >= S")
 
+    sites = cfg.graph_insert_after() if cfg.graph.enabled else ()
     pre, trunk, post = split_params(params, cfg.depth)
+    # graph blocks share one param structure — stacked [G, ...] and
+    # replicated over stages (they are small vs the trunk); each stage
+    # applies the site(s) that fall inside its layer chunk
+    graph_stack = (
+        jax.tree.map(lambda *ls: jnp.stack(ls),
+                     *[params[f"graph_{j}"] for j in range(len(sites))])
+        if sites else jnp.zeros((0,))
+    )
     x = _embed(cfg, dtype, pre, images)          # [B, N, C], replicated
     mbs = x.reshape(M, b // M, *x.shape[1:])     # [M, mb, N, C]
+    L = cfg.depth // S
+    site_arr = jnp.asarray(sites, jnp.int32) if sites else None
 
-    def stage_body(trunk_local, mbs):
+    def stage_body(trunk_local, graph_local, mbs):
         s = lax.axis_index("pipe")
 
         def run_blocks(x):
-            def step(x, p):
-                return _block_apply(cfg, dtype, p, x), None
+            def step(x, inp):
+                p, loc = inp
+                x = _block_apply(cfg, dtype, p, x)
+                if sites:
+                    match = site_arr == (s * L + loc)   # [G]
 
-            x, _ = lax.scan(step, x, trunk_local)
+                    def apply_graph(x):
+                        gp = jax.tree.map(
+                            lambda a: a[jnp.argmax(match)], graph_local)
+                        return _graph_apply(cfg, dtype, gp, x)
+
+                    x = lax.cond(jnp.any(match), apply_graph,
+                                 lambda x: x, x)
+                return x, None
+
+            x, _ = lax.scan(step, x,
+                            (trunk_local, jnp.arange(L, dtype=jnp.int32)))
             return x
 
         zero = jnp.zeros_like(mbs[0])
@@ -177,9 +224,9 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
     data_in = P(None, "data") if "data" in mesh.shape else P()
     outs = jax.shard_map(
         stage_body, mesh=mesh,
-        in_specs=(P("pipe"), data_in), out_specs=data_in,
+        in_specs=(P("pipe"), P(), data_in), out_specs=data_in,
         check_vma=False,
-    )(trunk, mbs)
+    )(trunk, graph_stack, mbs)
     tokens = outs.reshape(b, *outs.shape[2:])
     return _head(cfg, dtype, post, tokens)
 
