@@ -587,3 +587,32 @@ def test_microbatcher_backpressure_queue_full():
     assert batcher.stats()["pending_rows"] == 0
     assert isinstance(batcher.submit(img), np.ndarray)
     batcher.close()
+
+
+def test_moe_predictor_engines_agree():
+    """The serving surface works for the MoE family: a Predictor over a
+    grouped-engine MoE model serves the same probabilities as the dense
+    engine on the same params (no-drop capacity), through the bucketed
+    batch path."""
+    base = {
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 2, "num_heads": 2,
+                  "num_classes": 14,
+                  "moe": {"enabled": True, "num_experts": 4, "k": 2,
+                          "capacity_factor": 2.0, "every": 2}},
+        "data": {"image_size": 16},
+    }
+    import copy
+
+    cfg_d = from_dict(copy.deepcopy(base))
+    grouped = copy.deepcopy(base)
+    grouped["model"]["moe"]["impl"] = "grouped"
+    cfg_g = from_dict(grouped)
+    pd = Predictor(cfg_d, buckets=(1, 4))
+    # same params on both engines (identical trees)
+    pg = Predictor(cfg_g, buckets=(1, 4))
+    pg.params = pd.params
+    pg._variables = {"params": pd.params}
+    imgs = np.random.default_rng(1).integers(0, 255, (3, 16, 16, 3), np.uint8)
+    np.testing.assert_allclose(
+        pg.predict_proba(imgs), pd.predict_proba(imgs), atol=1e-5)
