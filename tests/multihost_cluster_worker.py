@@ -16,6 +16,12 @@ Scenarios (``mode`` argument):
   full batch. Trains an epoch and validates; the parent compares against a
   single-process oracle, proving the shared-feeding-group path end-to-end.
 
+* ``moe_ep`` (r4) — grouped-engine MoE under dp×ep across REAL processes:
+  the dropless engine's shard_map over ('data','model') runs with the
+  expert bank sharded across process boundaries (no all-to-all — psum
+  combine over ICI/DCN). Validates on initial params (parent compares to a
+  single-process oracle), trains an epoch, validates again.
+
 Usage: multihost_cluster_worker.py <coordinator> <nproc> <pid> <ndev>
        <data> <model> <savedir> <mode>
 """
@@ -102,10 +108,17 @@ def build_trainer(cfg, mesh, shard, record_ids=None, id_of=None):
 def main():
     assert jax.device_count() == nproc * ndev, jax.device_count()
     assert jax.local_device_count() == ndev
+    model_cfg = {"name": "custom", "img_size": 16, "patch_size": 8,
+                 "embed_dim": 32, "depth": 1, "num_heads": 2,
+                 "num_classes": 14}
+    if mode == "moe_ep":
+        model_cfg.update({
+            "depth": 2,
+            "moe": {"enabled": True, "num_experts": 4, "k": 2,
+                    "every": 2, "impl": "grouped"},
+        })
     cfg = from_dict({
-        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
-                  "embed_dim": 32, "depth": 1, "num_heads": 2,
-                  "num_classes": 14},
+        "model": model_cfg,
         "data": {"batch_size": GLOBAL_BS, "image_size": 16},
         "training": {"epochs": 1, "warmup_epochs": 1, "precision": "fp32",
                      "log_every": 1000},
@@ -120,12 +133,20 @@ def main():
     result = {"process": pid, "mode": mode,
               "shard_index": shard_index, "num_shards": num_shards}
 
-    if mode in ("xtp", "xtp_sp"):
+    if mode in ("xtp", "xtp_sp", "moe_ep"):
         trainer = build_trainer(cfg, mesh, shard)
         if mode == "xtp_sp":
             assert trainer.model.sp, "mesh.sp did not reach the model"
-        qkv = trainer.state.params["model"]["blocks_0"]["attn"]["qkv"]["kernel"]
-        assert "model" in str(qkv.sharding.spec), qkv.sharding
+        if mode == "moe_ep":
+            # the expert bank must actually live sharded over 'model',
+            # whose shards span BOTH processes on this mesh
+            bank = (trainer.state.params["model"]["blocks_1"]["moe"]
+                    ["fc1_kernel"])
+            assert "model" in str(bank.sharding.spec), bank.sharding
+        else:
+            qkv = (trainer.state.params["model"]["blocks_0"]["attn"]["qkv"]
+                   ["kernel"])
+            assert "model" in str(qkv.sharding.spec), qkv.sharding
         result["val0"] = trainer.validate()
         tm = trainer.train_epoch()
         result["val"] = trainer.validate()

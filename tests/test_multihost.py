@@ -338,3 +338,54 @@ def test_two_process_grain_loader_training():
     assert a["step"] == 4, a
     for key in ("step", "train_loss", "val_loss"):
         assert a[key] == b[key], (key, a, b)
+
+
+def test_two_process_grouped_moe_ep_matches_single(tmp_path):
+    """r4: the grouped (dropless) MoE engine expert-parallel across REAL
+    process boundaries — mesh data=1, model=2 over two single-device
+    hosts, expert bank sharded host-to-host, the psum combine riding the
+    cross-process collective path. Training result equals a
+    single-process run on the same stream."""
+    import jax
+
+    from gavit_tpu.config import from_dict
+    from gavit_tpu.data import SyntheticChestXrayDataset
+    from gavit_tpu.data.grain_pipeline import GrainLoader
+    from gavit_tpu.models.vit import build_model, init_params
+    from gavit_tpu.training import Trainer
+
+    results = _run_cluster(2, 1, 1, 2, tmp_path / "ck", "moe_ep")
+    a, b = results
+    assert a["num_shards"] == b["num_shards"] == 1
+    for key in ("step", "train_loss", "val0_loss", "val_loss"):
+        assert a[key] == b[key], (key, a, b)
+    assert a["step"] == 4
+
+    cfg = from_dict({
+        "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                  "embed_dim": 32, "depth": 2, "num_heads": 2,
+                  "num_classes": 14,
+                  "moe": {"enabled": True, "num_experts": 4, "k": 2,
+                          "every": 2, "impl": "grouped"}},
+        "data": {"batch_size": 16, "image_size": 16},
+        "training": {"epochs": 1, "warmup_epochs": 1, "precision": "fp32",
+                     "log_every": 1000},
+        "mesh": {"data": 1, "model": 1},
+        "paths": {"save_dir": str(tmp_path / "oracle_ck"),
+                  "log_dir": str(tmp_path / "oracle_lg")},
+    })
+    train_ds = SyntheticChestXrayDataset(size=64, image_size=16, seed=0)
+    val_ds = SyntheticChestXrayDataset(size=36, image_size=16, seed=1)
+    tl = GrainLoader(train_ds, 16, shuffle=True, drop_last=True,
+                     shard=(0, 1), seed=13)
+    vl = GrainLoader(val_ds, 16, shuffle=False, shard=(0, 1))
+    model = build_model(cfg.model, precision="fp32",
+                        attn_impl="xla", graph_impl="xla")
+    params = init_params(model, jax.random.key(0))
+    oracle = Trainer(model, params, tl, vl, cfg)
+    ref0 = oracle.validate()
+    ref_tm = oracle.train_epoch()
+    ref_val = oracle.validate()
+    np.testing.assert_allclose(a["val0_loss"], ref0["loss"], atol=5e-5)
+    np.testing.assert_allclose(a["train_loss"], ref_tm["loss"], atol=5e-5)
+    np.testing.assert_allclose(a["val_loss"], ref_val["loss"], atol=5e-5)
