@@ -227,6 +227,17 @@ def main():
             trainer.train_metrics_history,
             save_dir=os.path.join(config.paths.save_dir, "figures"),
         )
+        # the reference's training_progress artifacts (per-metric progress
+        # plots + the combined panel) into figures/training_progress/
+        if trainer.train_metrics_history and trainer.val_metrics_history:
+            from gavit_tpu.utils.visualization import VisualizationManager
+
+            VisualizationManager(
+                os.path.join(config.paths.save_dir, "figures"),
+                train_ds.disease_names,
+            ).plot_training_progress(
+                trainer.train_metrics_history, trainer.val_metrics_history,
+            )
     except Exception as e:
         logger.error(f"Training failed with error: {e}")
         raise
