@@ -171,3 +171,15 @@ def test_pipeline_graph_trunk_gradients_match_sequential():
         ),
         g_seq, g_pp,
     )
+
+
+def test_pipeline_graph_trunk_composes_with_data_axis():
+    """Graph-augmented pipe4×data2: the stage-local graph application
+    under a combined ('pipe','data') mesh still equals sequential."""
+    cfg, model, params, images = _graph_setup()
+    ref = jax.jit(lambda p, x: model.apply(
+        {"params": p}, x, deterministic=True))(params, images)
+    mesh = make_pipe_mesh(4, data=2)
+    out = jax.jit(pipeline_forward_fn(mesh, cfg, num_microbatches=4))(
+        params, images)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
