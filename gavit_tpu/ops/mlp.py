@@ -101,10 +101,15 @@ def pick_block(m: int, d: int, f: int, itemsize: int) -> int | None:
     # does), and at the shard-local m=3152 the chain wins isolated too
     # (2.33 vs 2.47 ms) — BASELINE.md r3. Shapes with no ≥32 divisor take
     # the unfused chain.
+    # fp32 keeps the 16 MB budget (and thus the XLA chain at ViT-B+):
+    # the fp32 path is the logit-parity path, validated against the torch
+    # reference on the chain — only the bf16 production path stretches to
+    # _VMEM_MAX (the ViT-L fix)
+    budget = int(0.8 * _VMEM_MAX) if itemsize == 2 else _VMEM_BUDGET
     for bm in (64, 128, 256, 512, 32):
         if m % bm:
             continue
-        if _vmem_need(bm, d, f, itemsize) <= int(0.8 * _VMEM_MAX):
+        if _vmem_need(bm, d, f, itemsize) <= budget:
             return bm
     return None
 

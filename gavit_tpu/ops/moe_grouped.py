@@ -87,8 +87,9 @@ def _gmm_tiling(m: int, k: int, n: int) -> tuple[int, int, int]:
     # so 256 pads nothing; 512 pads 256 rows per gmm call). (256,768,768)
     # vs (512,768,768) isolated: 10.44 vs 10.16 ms — the pad removal is
     # worth far more than the 3% kernel delta.
-    tm = next((t for t in (512, 256, 128) if m % t == 0),
-              min(512, max(128, m)))
+    # fallback stays a 128-row tile (8-sublane aligned; pad path covers the
+    # remainder) — tm=m for odd m would hand Mosaic an unaligned block
+    tm = next((t for t in (512, 256, 128) if m % t == 0), 128)
     tk = 768 if k % 768 == 0 else min(512, max(128, k))
     tn = 768 if n % 768 == 0 else min(512, max(128, n))
     return tm, tk, tn

@@ -119,8 +119,9 @@ def _block_cp(cfg: ModelConfig, dtype, p, x, n_valid: int, axis: str):
     return x + y
 
 
-_NEG_INF = -1e30
-_EPS = 1e-6
+# the sequential adjacency's constants — import, don't redeclare: a drift
+# in ops/graph_ops would otherwise silently break the cp bit-parity
+from gavit_tpu.ops.graph_ops import _EPS, _NEG_INF  # noqa: E402
 
 
 def _graph_cp(cfg: ModelConfig, dtype, p, x, n: int, axis: str, adj=None):

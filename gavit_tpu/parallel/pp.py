@@ -167,7 +167,11 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
         raise ValueError(f"batch {b} / microbatches {M} / stages {S}: need "
                          "M | b and M >= S")
 
-    sites = cfg.graph_insert_after() if cfg.graph.enabled else ()
+    # distinct + sorted: the sequential model collapses duplicate sites via
+    # a set (models/vit.py:98) and creates one graph_j per DISTINCT site —
+    # the even-spread rule can collide (e.g. depth=4, num_blocks=4)
+    sites = (tuple(sorted(set(cfg.graph_insert_after())))
+             if cfg.graph.enabled else ())
     pre, trunk, post = split_params(params, cfg.depth)
     # graph blocks share one param structure — stacked [G, ...] and
     # replicated over stages (they are small vs the trunk); each stage

@@ -645,7 +645,11 @@ class MicroBatcher:
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
-            if self.max_queue_rows and \
+            # pending > 0: a request larger than the bound itself must not
+            # be rejected while the batcher is idle — it would 503 forever
+            # (Retry-After on a permanently-unservable request); oversized
+            # requests are admitted alone and chunked by the predictor
+            if self.max_queue_rows and self._pending_rows > 0 and \
                     self._pending_rows + n > self.max_queue_rows:
                 self._rejected += 1
                 raise QueueFull(

@@ -380,3 +380,48 @@ def test_upcycled_grouped_equals_dense_forward():
         np.asarray(dense_model.apply({"params": dense_params}, x,
                                      deterministic=True)),
         atol=1e-5)
+
+
+def test_grouped_remat_matches_stored_residuals(tmp_path):
+    """moe.grouped_remat wraps the grouped op in jax.checkpoint; the
+    backward's recompute (incl. regenerated dropout masks from the same
+    key) must reproduce the stored-residual path's update exactly."""
+    from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
+    from gavit_tpu.models.vit import build_model, init_params
+    from gavit_tpu.training import Trainer
+
+    images, labels = next(iter(DataLoader(
+        SyntheticChestXrayDataset(size=16, image_size=16, seed=0), 16,
+        num_workers=0,
+    )))
+    results = {}
+    for name, remat in [("stored", False), ("remat", True)]:
+        cfg = from_dict({
+            "model": {"name": "custom", "img_size": 16, "patch_size": 8,
+                      "embed_dim": 32, "depth": 4, "num_heads": 4,
+                      "num_classes": 14, "drop_rate": 0.1,
+                      "moe": {"enabled": True, "num_experts": 4, "k": 2,
+                              "every": 2, "impl": "grouped",
+                              "grouped_remat": remat}},
+            "data": {"batch_size": 16, "image_size": 16},
+            "training": {"epochs": 1, "warmup_epochs": 1,
+                         "precision": "fp32"},
+            "mesh": {"data": 2, "model": 1},
+            "paths": {"save_dir": str(tmp_path / name / "ckpt"),
+                      "log_dir": str(tmp_path / name / "logs")},
+        })
+        model = build_model(cfg.model, precision="fp32")
+        params = init_params(model, jax.random.key(0))
+        ds = SyntheticChestXrayDataset(size=16, image_size=16, seed=0)
+        loader = DataLoader(ds, 16, num_workers=0)
+        tr = Trainer(model, params, loader, loader, cfg)
+        batch = shard_batch(tr.mesh, (images, labels))
+        state, metrics, _ = tr._train_step(tr.state, tr.base_rng, *batch)
+        state, metrics, _ = tr._train_step(state, tr.base_rng, *batch)
+        results[name] = (state, float(metrics["loss"]))
+    (s0, l0), (s1, l1) = results["stored"], results["remat"]
+    np.testing.assert_allclose(l1, l0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["model"]["blocks_1"]["moe"]["fc1_kernel"]),
+        np.asarray(s0.params["model"]["blocks_1"]["moe"]["fc1_kernel"]),
+        atol=1e-6)

@@ -616,3 +616,25 @@ def test_moe_predictor_engines_agree():
     imgs = np.random.default_rng(1).integers(0, 255, (3, 16, 16, 3), np.uint8)
     np.testing.assert_allclose(
         pg.predict_proba(imgs), pd.predict_proba(imgs), atol=1e-5)
+
+
+def test_microbatcher_admits_oversized_request_when_idle():
+    """A single request larger than max_queue_rows must be admitted when
+    the batcher is idle (the predictor chunks it) — rejecting it would 503
+    a permanently-unservable request forever."""
+    from gavit_tpu.serving import MicroBatcher
+
+    class Pred:
+        buckets = (1,)
+        image_size = 16
+
+        def predict_proba(self, x):
+            return np.ones((len(x), 14), np.float32)
+
+    batcher = MicroBatcher(Pred(), max_wait_ms=0.0, max_batch=1,
+                           max_queue_rows=2)
+    big = np.zeros((5, 16, 16, 3), np.uint8)   # 5 rows > bound 2
+    out = batcher.submit(big)
+    assert out.shape == (5, 14)
+    assert batcher.stats()["rejected"] == 0
+    batcher.close()
