@@ -425,3 +425,40 @@ def test_grouped_remat_matches_stored_residuals(tmp_path):
         np.asarray(s1.params["model"]["blocks_1"]["moe"]["fc1_kernel"]),
         np.asarray(s0.params["model"]["blocks_1"]["moe"]["fc1_kernel"]),
         atol=1e-6)
+
+
+def test_grouped_ep_composes_with_checkpoint():
+    """grouped_remat wraps sharded_grouped_moe in jax.checkpoint; under a
+    dp×ep mesh that is remat-of-shard_map — gradients must still equal the
+    unsharded, un-checkpointed computation."""
+    from gavit_tpu.ops.moe_grouped import sharded_grouped_moe
+
+    x, gv, gi, weights = _toy(g=8)
+    key = jax.random.PRNGKey(0)
+
+    def loss_plain(x, gv, w):
+        out = sharded_grouped_moe(x, gv, gi_dev, *w, key,
+                                  ep_capacity_factor=4.0)
+        return jnp.sum(out ** 2)
+
+    gi_dev = gi
+    ref_l, ref_g = jax.value_and_grad(loss_plain, argnums=(0, 2))(
+        x, gv, weights)
+
+    def loss_ckpt(x, gv, w):
+        fn = jax.checkpoint(
+            lambda *a: sharded_grouped_moe(*a, ep_capacity_factor=4.0))
+        return jnp.sum(fn(x, gv, gi_dev, *w, key) ** 2)
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    gvs = jax.device_put(gv, NamedSharding(mesh, P("data")))
+    gi_dev = jax.device_put(gi, NamedSharding(mesh, P("data")))
+    ws = tuple(jax.device_put(w, NamedSharding(mesh, P("model")))
+               for w in weights)
+    with jax.set_mesh(mesh):
+        out_l, out_g = jax.jit(jax.value_and_grad(
+            loss_ckpt, argnums=(0, 2)))(xs, gvs, ws)
+    np.testing.assert_allclose(float(out_l), float(ref_l), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(out_g), jax.tree.leaves(ref_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

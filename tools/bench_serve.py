@@ -92,6 +92,7 @@ def main():
     img_size = 224 if on_tpu else 32
     name = "vit_base_16" if on_tpu else "custom"
     clients, reqs = (32, 8) if on_tpu else (8, 4)
+    clients = int(os.environ.get("GAVIT_BENCH_CLIENTS", clients))
 
     cfg = from_dict({
         "model": ({"name": name, "img_size": img_size, "patch_size": 16,
