@@ -40,6 +40,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="dense",
                     choices=["dense", "grouped"])
+    ap.add_argument("--experts", type=int, default=8,
+                    help="expert count (r4 scaling probe: the dense "
+                         "engine's dispatch/combine cost grows with E; "
+                         "the grouped engine computes exact rows at any E)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override the train batch (default 128 TPU / 8 CPU)")
     ap.add_argument("--no-remat", action="store_true",
                     help="grouped_remat=false: store the ragged-GEMM "
                          "residuals instead of recomputing (r4: the "
@@ -59,7 +65,7 @@ def main():
     img = 224 if on_tpu else 32
     patch = 16 if on_tpu else 8
     name = "vit_base_16" if on_tpu else "custom"
-    train_batch = 128 if on_tpu else 8
+    train_batch = args.batch or (128 if on_tpu else 8)
     n_steps = 20 if on_tpu else 3
 
     cfg = from_dict({
@@ -69,7 +75,7 @@ def main():
             "num_classes": 14, "drop_rate": 0.1,
             "graph": {"enabled": True, "num_blocks": 2, "adjacency": "knn",
                       "k": 8 if on_tpu else 3, "dynamic": True},
-            "moe": {"enabled": True, "num_experts": 8, "k": 2,
+            "moe": {"enabled": True, "num_experts": args.experts, "k": 2,
                     "capacity_factor": 1.25, "every": 2,
                     "impl": args.impl,
                     "grouped_remat": not args.no_remat},
@@ -85,7 +91,7 @@ def main():
 
     detail = (f" matmul={resolve_matmul_impl()}"
               if args.impl == "grouped" else "")
-    print(f"moe bench: {name} impl={args.impl}{detail} E=8 k=2 every=2 "
+    print(f"moe bench: {name} impl={args.impl}{detail} E={args.experts} k=2 every=2 "
           f"img={img} b{train_batch} params={n_params / 1e6:.1f}M "
           f"backend={jax.default_backend()}", flush=True)
 
