@@ -197,8 +197,9 @@ class MoEConfig:
     # grouped engine under expert parallelism (mesh.model > 1): static
     # per-expert buffer bound of ceil(T·factor/E) rows over the local token
     # shard — dropless while every expert's realized load stays under
-    # factor× the mean; only the buffer is bounded, compute tracks the
-    # realized load (megablox skips the unused tail's tiles)
+    # factor× the mean. Note: expert-GEMM compute scales with this bound
+    # (unused tail rows are booked to the last group and masked out of the
+    # combine), so the factor trades drop headroom against FLOPs
     ep_capacity_factor: float = 2.0
     # auxiliary-loss weights (added to the objective by the Trainer)
     aux_weight: float = 0.01

@@ -66,18 +66,25 @@ _VMEM_BUDGET = int(0.8 * _VMEM_LIMIT)
 _VMEM_MAX = int(os.environ.get("GAVIT_MLP_VMEM_MB_MAX", "48")) * 1024 * 1024
 
 
-def _vmem_need(bm: int, d: int, f: int, itemsize: int) -> int:
-    fixed = (d * f + f * d) * itemsize + (f + d) * 4
+def _vmem_need(bm: int, d: int, f: int, itemsize: int,
+               w_elems: int | None = None) -> int:
+    # resident weights: both matrices for the forward; the backward holds
+    # only w2 ([f, d]) — pass w_elems to charge the actual resident set so
+    # near-16-MB shapes keep the measured-best floor (r4 advisor finding)
+    if w_elems is None:
+        w_elems = 2 * d * f
+    fixed = w_elems * itemsize + (f + d) * 4
     # double-buffered streaming blocks + fp32 temporaries (h1, gelu,
     # random bits) — a deliberate overestimate; Mosaic reuses temps
     per_row = 2 * (2 * d * itemsize + f * itemsize) + 3 * f * 4
     return fixed + bm * per_row
 
 
-def vmem_limit_for(bm: int, d: int, f: int, itemsize: int) -> int:
+def vmem_limit_for(bm: int, d: int, f: int, itemsize: int,
+                   w_elems: int | None = None) -> int:
     """Mosaic vmem_limit_bytes for this call: the measured-best floor when
     the working set fits it, else the minimal raise that fits (whole MBs)."""
-    need = _vmem_need(bm, d, f, itemsize)
+    need = _vmem_need(bm, d, f, itemsize, w_elems)
     if need <= _VMEM_BUDGET:
         return _VMEM_LIMIT
     return -(-int(need / 0.8) // (1024 * 1024)) * 1024 * 1024
@@ -304,7 +311,11 @@ def _run_bwd(dy2, h1, w2, seed, rate, out_rate, bm):
         compiler_params=pltpu.CompilerParams(
             # sequential grid: the bias-grad outputs accumulate across steps
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=vmem_limit_for(bm, d, f, dy2.dtype.itemsize),
+            # only w2 [f, d] is kernel-resident — charging both matrices
+            # would raise the cap (and loosen Mosaic's buffer policy) for
+            # shapes that actually fit the measured-best 16 MB floor
+            vmem_limit_bytes=vmem_limit_for(bm, d, f, dy2.dtype.itemsize,
+                                            w_elems=f * d),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * d * f,

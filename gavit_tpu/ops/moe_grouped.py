@@ -44,8 +44,10 @@ This module is that path, TPU-first:
   along 'model'; each expert shard *gathers* the rows routed to its local
   experts into a static, capacity-bounded buffer
   (``ceil(T·ep_capacity_factor/E)`` rows per expert — dropless within the
-  bound; megablox skips the unused tail's tiles so compute tracks the
-  *realized* load, not the bound), runs the ragged local-expert GEMMs, and
+  bound; the unused tail rows are booked to the last group, so they ARE
+  multiplied against the last expert's weights and masked out of the
+  combine — compute scales with the capacity bound, correctness with the
+  realized load), runs the ragged local-expert GEMMs, and
   one ``psum`` over 'model' combines the partial outputs — the same
   collective volume as the dense EP path's combine all-reduce, with zero
   dispatch GEMMs and zero slot padding in the compute.
@@ -420,9 +422,10 @@ def sharded_grouped_moe(x, gate_vals, gate_idx, w1, b1, w2, b2, key,
                 f"num_experts={e} must divide by the '{expert_axis}' mesh "
                 f"axis ({ep}) for grouped expert parallelism")
         if x.shape[0] % dp:
-            raise ValueError(
-                f"grouped expert parallelism needs the group dim "
-                f"({x.shape[0]}) divisible by the '{batch_axis}' axis ({dp})")
+            # ragged final eval/serving batch: replicate the batch (experts
+            # stay sharded) instead of erroring — mirrors the dp-only
+            # branch's graceful fallback above
+            dp = 1
         e_loc = e // ep
         # per-expert static bound over the LOCAL token shard: expected load
         # is T/E rows; the factor is slack before (per-expert) drops

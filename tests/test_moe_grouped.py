@@ -297,6 +297,26 @@ def test_grouped_ep_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_grouped_ep_ragged_batch_falls_back_to_replicated():
+    """A batch not divisible by the 'data' axis under dp×ep replicates the
+    batch (experts stay sharded) instead of raising — the same graceful
+    degradation as the dp-only path (r4 advisor finding)."""
+    from gavit_tpu.ops.moe_grouped import sharded_grouped_moe
+
+    x, gv, gi, weights = _toy(g=7)          # 7 % dp(2) != 0
+    key = jax.random.PRNGKey(0)
+    ref = sharded_grouped_moe(x, gv, gi, *weights, key,
+                              ep_capacity_factor=4.0)
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    ws = tuple(jax.device_put(w, NamedSharding(mesh, P("model")))
+               for w in weights)
+    with jax.set_mesh(mesh):
+        out = jax.jit(lambda *a: sharded_grouped_moe(
+            *a, ep_capacity_factor=4.0))(x, gv, gi, *ws, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_grouped_ep_capacity_drops_are_per_expert():
     """Past the ep_capacity_factor bound an overloaded expert drops its
     over-capacity pairs (per-expert — not cascading); the computed output
