@@ -168,11 +168,15 @@ class MoEConfig:
     k: int = 2
     # execution engine:
     #  'dense'   — static-capacity one-hot dispatch (V-MoE semantics:
-    #              overflow tokens are dropped); required for expert
-    #              parallelism (mesh.model > 1).
+    #              overflow tokens are dropped); EP via GSPMD all-to-alls.
     #  'grouped' — dropless MegaBlocks-style ragged expert GEMMs
     #              (ops/moe_grouped.py): no capacity, no dropped tokens,
-    #              no dispatch/combine one-hot GEMMs; dp/fsdp meshes only.
+    #              no dispatch/combine one-hot GEMMs; EP runs local-expert
+    #              grouping + one psum (no all-to-all).
+    #  'auto'    — the measured crossover as policy (BASELINE.md r4 probe):
+    #              grouped at ≥ GROUPED_MIN_PAIRS routed pairs per device
+    #              (b128-class steps), dense below (b64-class); resolved
+    #              per traced shape, logged (models/moe.py).
     impl: str = "dense"
     # per-expert buffer = ceil(k · tokens · capacity_factor / num_experts);
     # overflow tokens pass through the residual unchanged ('dense' impl

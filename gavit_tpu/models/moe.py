@@ -48,6 +48,57 @@ from gavit_tpu.config import MoEConfig
 
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 
+# Measured engine crossover (BASELINE.md r4 scaling probe, commits
+# 1d26830/c0a2103): the grouped engine's routing/gather machinery is
+# ~fixed per step while the slot-padding waste it reclaims scales with
+# tokens — grouped wins at b128-class steps (T = 128·197·2 = 50432 routed
+# pairs/device: 261.8 vs 283.8 ms), dense below (b64, T = 25216: 130.3 vs
+# 153.9 train, 29.0 vs 32.4 infer; same ordering at E=16). Threshold =
+# the midpoint of the measured bracket; override for probes via
+# GAVIT_MOE_AUTO_PAIRS.
+GROUPED_MIN_PAIRS = 37824
+
+
+def _auto_threshold() -> int:
+    import os
+
+    return int(os.environ.get("GAVIT_MOE_AUTO_PAIRS", GROUPED_MIN_PAIRS))
+
+
+_logged_choices: set = set()
+
+
+def resolve_moe_impl(impl: str, pairs: int) -> str:
+    """Resolve ``model.moe.impl`` for one traced shape.
+
+    Args:
+      impl:  'dense' | 'grouped' (explicit — returned unchanged) | 'auto'.
+      pairs: per-device routed (token, choice) pairs = (B/dp)·S·k for the
+        shape being traced.
+
+    'auto' encodes the measured crossover (see ``GROUPED_MIN_PAIRS``): the
+    dropless grouped engine above the threshold, the static-capacity dense
+    engine below it. Resolution is per trace shape, so one config picks
+    grouped for the b128 train step and dense for a b64 serving batch.
+    Caveat: a ragged eval tail batch can resolve to the other engine than
+    the full batches (the engines differ in drop semantics at saturated
+    experts) — pin the impl explicitly when strict uniformity matters.
+    """
+    if impl != "auto":
+        if impl not in ("dense", "grouped"):
+            raise ValueError(f"unknown model.moe.impl {impl!r}")
+        return impl
+    choice = "grouped" if pairs >= _auto_threshold() else "dense"
+    key = (pairs, choice)
+    if key not in _logged_choices:
+        _logged_choices.add(key)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "moe.impl=auto -> %s (%d routed pairs/device, threshold %d)",
+            choice, pairs, _auto_threshold())
+    return choice
+
 
 def _mm_precision(dtype):
     if dtype == jnp.float32:
@@ -193,7 +244,12 @@ class MoEMlp(nn.Module):
         # path — the same dispatch rule (and rationale) as the dense Mlp
         approx = self.dtype == jnp.bfloat16 and deterministic
 
-        if cfg.impl == "grouped":
+        mesh = jax.sharding.get_abstract_mesh()
+        dp = mesh.shape.get("data", 1) if mesh is not None else 1
+        impl = resolve_moe_impl(
+            cfg.impl, (g // max(1, dp)) * s * k)
+
+        if impl == "grouped":
             # dropless grouped-GEMM execution (ops/moe_grouped.py): no
             # capacity, ragged expert GEMMs over exactly the routed rows.
             # Under a >1 'model' mesh axis the engine runs expert-parallel:

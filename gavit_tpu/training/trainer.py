@@ -235,8 +235,12 @@ class Trainer:
         against the ambient mesh; every other dp op gates on 'model' > 1
         and stays a no-op under the context."""
         moe = self.config.model.moe
+        # 'auto' may resolve to grouped at the train step's per-device
+        # token count (models/moe.py::resolve_moe_impl) — enter the mesh
+        # context whenever that is possible; the context is harmless when
+        # the resolution lands on dense (every dp op gates on 'model' > 1)
         grouped_dp = (
-            moe.enabled and moe.impl == "grouped"
+            moe.enabled and moe.impl in ("grouped", "auto")
             and self.mesh.shape.get("data", 1) > 1
         )
         if self.mesh.shape.get("model", 1) <= 1 and not grouped_dp:

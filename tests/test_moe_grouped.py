@@ -297,6 +297,45 @@ def test_grouped_ep_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_resolve_moe_impl_encodes_measured_crossover():
+    """'auto' = the BASELINE.md r4 probe as code: grouped at b128-class
+    per-device routed pairs (128·197·2 = 50432), dense at b64-class
+    (25216); explicit values pass through untouched."""
+    from gavit_tpu.models.moe import resolve_moe_impl
+
+    assert resolve_moe_impl("auto", 128 * 197 * 2) == "grouped"
+    assert resolve_moe_impl("auto", 64 * 197 * 2) == "dense"
+    assert resolve_moe_impl("dense", 10 ** 9) == "dense"
+    assert resolve_moe_impl("grouped", 1) == "grouped"
+    with pytest.raises(ValueError, match="unknown"):
+        resolve_moe_impl("fast", 1)
+
+
+def test_moe_auto_matches_resolved_engine(monkeypatch):
+    """MoEMlp under impl='auto' computes exactly what the resolved engine
+    computes — both below the threshold (dense) and, with the probe
+    override dropping the threshold to 1, above it (grouped)."""
+    cfg_auto = MoEConfig(enabled=True, num_experts=4, k=2, impl="auto",
+                         capacity_factor=4.0)
+    x = jax.random.normal(jax.random.key(1), (2, 9, 16))
+
+    def run(cfg):
+        mod = MoEMlp(cfg=cfg, hidden_dim=32, out_dim=16, drop=0.0)
+        variables = mod.init(jax.random.key(2), x)
+        return np.asarray(mod.apply(variables, x, deterministic=True))
+
+    out_dense = run(dataclasses.replace(cfg_auto, impl="dense"))
+    out_grouped = run(dataclasses.replace(cfg_auto, impl="grouped"))
+    # tiny shape (36 pairs) -> dense
+    np.testing.assert_allclose(run(cfg_auto), out_dense, atol=1e-6)
+    # forced-low threshold -> grouped
+    monkeypatch.setenv("GAVIT_MOE_AUTO_PAIRS", "1")
+    np.testing.assert_allclose(run(cfg_auto), out_grouped, atol=1e-6)
+    # the two engines agree here anyway (cf=4 -> no drops); the point is
+    # each auto run matched its resolved engine bit-for-bit at atol 1e-6
+    np.testing.assert_allclose(out_dense, out_grouped, atol=1e-5)
+
+
 def test_grouped_ep_ragged_batch_falls_back_to_replicated():
     """A batch not divisible by the 'data' axis under dp×ep replicates the
     batch (experts stay sharded) instead of raising — the same graceful
