@@ -357,6 +357,19 @@ def grouped_moe_mlp(x, gate_vals, gate_idx, w1, b1, w2, b2, key, *,
     k = gate_idx.shape[-1]
     impl = resolve_matmul_impl(matmul_impl)
 
+    if impl == "megablox":
+        from gavit_tpu.ops.moe_fused import grouped_moe_mlp_fused, use_fused
+
+        if use_fused(drop, deterministic, x.dtype):
+            # fused megakernel path (r5): both expert GEMMs + biases +
+            # GELU + dropout in one VMEM pass per tile — removes the
+            # [T, hidden] HBM round-trips, the onehot bias GEMMs and the
+            # megablox irregular-tile metadata of the path below
+            return grouped_moe_mlp_fused(
+                x, gate_vals, gate_idx, w1, b1, w2, b2, key,
+                drop=drop, deterministic=deterministic,
+                approx_gelu=approx_gelu)
+
     dest, src, sizes = group_by_expert(gate_idx, e)
     x_sorted = _dispatch_rows(x.reshape(g * s, d), src // k,
                               dest.reshape(-1), k, False)   # [T, D] gather
