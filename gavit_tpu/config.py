@@ -374,6 +374,14 @@ class MeshConfig:
 
     data: int = -1
     model: int = 1
+    # pipeline parallelism (GPipe, parallel/pp.py): >1 builds a
+    # ('pipe', 'data') mesh — each stage owns depth/pipe trunk layers, the
+    # Trainer's train/eval steps run the pipelined forward (r5). Composes
+    # with dp; model/fsdp/sp stay 1/off under pp (validated loudly).
+    pipe: int = 1
+    # GPipe microbatches per step; 0 = auto (parallel/pp.py::
+    # pick_microbatches — largest of 4·pipe/2·pipe/pipe dividing the batch)
+    pipe_microbatches: int = 0
     fsdp: bool = False
     fsdp_min_size: int = 4096
     # sequence parallelism (Megatron-SP): with model > 1, keep the residual

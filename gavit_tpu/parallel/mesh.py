@@ -28,7 +28,23 @@ from gavit_tpu.config import MeshConfig
 def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    pipe = max(1, getattr(cfg, "pipe", 1)) if cfg else 1
     model = max(1, cfg.model) if cfg else 1
+    if pipe > 1:
+        # pipeline parallelism is a ('pipe', 'data') mesh (parallel/pp.py);
+        # tp/fsdp/sp don't compose with the stacked-layer GPipe trunk
+        if model > 1 or (cfg and (cfg.fsdp or cfg.sp)):
+            raise ValueError(
+                "mesh.pipe > 1 composes with data parallelism only — set "
+                "model=1, fsdp=false, sp=false (the GPipe trunk is a "
+                "manual shard_map region; see parallel/pp.py scope)")
+        data = cfg.data if (cfg.data and cfg.data > 0) else n // pipe
+        if pipe * data > n:
+            raise ValueError(
+                f"mesh pipe={pipe}x data={data} needs {pipe * data} "
+                f"devices, have {n}")
+        arr = np.asarray(devices[: pipe * data]).reshape(pipe, data)
+        return Mesh(arr, ("pipe", "data"))
     data = cfg.data if (cfg and cfg.data and cfg.data > 0) else n // model
     if data * model > n:
         raise ValueError(f"mesh {data}x{model} needs {data*model} devices, have {n}")

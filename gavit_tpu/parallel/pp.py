@@ -21,12 +21,15 @@ owning stage applies its site(s) inside the layer scan via ``lax.cond``.
 Static-adjacency graph configs stay on dp/tp (the adjacency computed at
 the first site is CACHED across later sites in the sequential model —
 that cache would have to ride the pipeline). MoE trunks stay on dp/EP
-(heterogeneous block stack). Blocks run deterministic (pipeline
-inference / frozen-trunk settings) with the XLA attention impl (the fused
-kernels' GSPMD partitioning rules do not apply inside a manual shard_map
-region). Embedding (patch + cls + pos) and the head (LN + linear) run
-replicated outside the pipelined region. Microbatch count M ≥ stages S
-keeps the bubble fraction at (S-1)/(M+S-1).
+(heterogeneous block stack); drop_path needs its per-layer static rates
+and stays 0 under pp. Since r5 pp is a CONFIG AXIS (``mesh.pipe``): the
+Trainer drives this module for train AND eval steps, blocks run with
+their DEFAULT (fused-kernel) impls — inside shard_map the partitioned op
+wrappers see no spanning mesh axes and execute shard-locally — and
+dropout is applied per (layer, tick) under training. Embedding
+(patch + cls + pos) and the head (LN + linear) run replicated outside the
+pipelined region. Microbatch count M ≥ stages S keeps the bubble
+fraction at (S-1)/(M+S-1).
 
 Parity with the sequential model is exact and pinned by
 ``tests/test_pipeline.py``: same param tree, same modules, logits and
@@ -112,30 +115,41 @@ def _head(cfg: ModelConfig, dtype, post, x):
     return logits.astype(jnp.float32)
 
 
-def _block_apply(cfg: ModelConfig, dtype, p, x):
+def _block_apply(cfg: ModelConfig, dtype, p, x, deterministic=True,
+                 rng=None):
     from gavit_tpu.models.layers import Block
 
+    # DEFAULT impls (r5, lifting the r3 'xla' pin): the stage body runs the
+    # same fused Pallas kernels the sequential model dispatches to — inside
+    # shard_map the batch/head-partitioned wrappers see no spanning mesh
+    # axes and execute shard-locally, which is exactly the manual-sharding
+    # contract here
     blk = Block(
         dim=cfg.embed_dim, num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
-        qkv_bias=cfg.qkv_bias, dtype=dtype,
-        attn_impl="xla", mlp_impl="xla",
+        qkv_bias=cfg.qkv_bias, dtype=dtype, drop=cfg.drop_rate,
+        attn_drop=cfg.attn_drop_rate,
     )
-    return blk.apply({"params": p}, x, True)
+    rngs = None if deterministic else {"dropout": rng}
+    return blk.apply({"params": p}, x, deterministic, rngs=rngs)
 
 
-def _graph_apply(cfg: ModelConfig, dtype, p, x):
+def _graph_apply(cfg: ModelConfig, dtype, p, x, deterministic=True,
+                 rng=None):
     from gavit_tpu.models.graph import GraphBlock
 
     gb = GraphBlock(
         dim=cfg.embed_dim, cfg=cfg.graph, num_patches=x.shape[1] - 1,
-        dtype=dtype, impl="reference",
+        drop=cfg.drop_rate, dtype=dtype,
     )
-    y, _ = gb.apply({"params": p}, x, adj=None, deterministic=True)
+    rngs = None if deterministic else {"dropout": rng}
+    y, _ = gb.apply({"params": p}, x, adj=None, deterministic=deterministic,
+                    rngs=rngs)
     return y
 
 
 def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
-                   num_microbatches: int, dtype=jnp.float32):
+                   num_microbatches: int, dtype=jnp.float32,
+                   deterministic: bool = True, rng=None):
     """Forward pass with the trunk pipelined over mesh axis 'pipe'.
 
     ``params`` is the plain VisionTransformer tree (graph_j keys included
@@ -145,6 +159,13 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
     between consecutive stages, and the last stage's outputs are psum-
     broadcast back (zeros everywhere else) for the replicated head.
     Differentiable end to end.
+
+    ``deterministic=False`` (the Trainer's pp training path, r5) applies
+    dropout inside the stage bodies: ``rng`` is folded per (layer, tick) so
+    every microbatch of every block draws an independent mask. The dropout
+    STREAM differs from the sequential model's (a different valid dropout,
+    same rates) — exact-trajectory parity vs sequential holds at
+    drop_rate 0 (``tests/test_pipeline.py``).
     """
     if cfg.graph.enabled and not cfg.graph.dynamic:
         raise ValueError(
@@ -158,6 +179,14 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
         raise ValueError("pipeline trunk requires moe.enabled=False "
                          "(the stacked-layer scan needs a homogeneous "
                          "block stack; MoE scales via dp/EP)")
+    if not deterministic and cfg.drop_path_rate > 0.0:
+        raise ValueError(
+            "pipeline training requires drop_path_rate=0: stochastic-depth "
+            "rates decay linearly PER LAYER (models/vit.py:100-102) but the "
+            "stacked-layer scan shares one static Block configuration "
+            "across its layers")
+    if not deterministic and rng is None:
+        raise ValueError("deterministic=False needs a dropout rng")
     S = mesh.shape["pipe"]
     if cfg.depth % S:
         raise ValueError(f"depth {cfg.depth} not divisible by {S} stages")
@@ -186,20 +215,31 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
     L = cfg.depth // S
     site_arr = jnp.asarray(sites, jnp.int32) if sites else None
 
-    def stage_body(trunk_local, graph_local, mbs):
+    def stage_body(trunk_local, graph_local, mbs, rng):
         s = lax.axis_index("pipe")
 
-        def run_blocks(x):
+        def run_blocks(x, t):
             def step(x, inp):
                 p, loc = inp
-                x = _block_apply(cfg, dtype, p, x)
+                layer = s * L + loc
+                if deterministic:
+                    k_blk = k_gph = None
+                else:
+                    # independent masks per (layer, tick): the microbatch
+                    # flowing through this stage at tick t is t - s, so
+                    # (layer, t) uniquely keys every (block, microbatch)
+                    k_blk = jax.random.fold_in(
+                        jax.random.fold_in(rng, layer), t)
+                    k_gph = jax.random.fold_in(k_blk, cfg.depth + 1)
+                x = _block_apply(cfg, dtype, p, x, deterministic, k_blk)
                 if sites:
-                    match = site_arr == (s * L + loc)   # [G]
+                    match = site_arr == layer           # [G]
 
                     def apply_graph(x):
                         gp = jax.tree.map(
                             lambda a: a[jnp.argmax(match)], graph_local)
-                        return _graph_apply(cfg, dtype, gp, x)
+                        return _graph_apply(cfg, dtype, gp, x,
+                                            deterministic, k_gph)
 
                     x = lax.cond(jnp.any(match), apply_graph,
                                  lambda x: x, x)
@@ -213,7 +253,7 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
 
         def tick(buf, t):
             feed = jnp.where(t < M, mbs[jnp.minimum(t, M - 1)], zero)
-            y = run_blocks(jnp.where(s == 0, feed, buf))
+            y = run_blocks(jnp.where(s == 0, feed, buf), t)
             nxt = lax.ppermute(
                 y, "pipe", [(i, i + 1) for i in range(S - 1)]
             )
@@ -226,13 +266,51 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
         return lax.psum(outs[S - 1:], "pipe")
 
     data_in = P(None, "data") if "data" in mesh.shape else P()
+    rng_in = rng if rng is not None else jax.random.key(0)
     outs = jax.shard_map(
         stage_body, mesh=mesh,
-        in_specs=(P("pipe"), P(), data_in), out_specs=data_in,
+        in_specs=(P("pipe"), P(), data_in, P()), out_specs=data_in,
         check_vma=False,
-    )(trunk, graph_stack, mbs)
+    )(trunk, graph_stack, mbs, rng_in)
     tokens = outs.reshape(b, *outs.shape[2:])
     return _head(cfg, dtype, post, tokens)
+
+
+def pick_microbatches(batch: int, stages: int, data: int = 1,
+                      requested: int = 0) -> int:
+    """GPipe microbatch count for a (global) batch.
+
+    ``requested`` > 0 is validated and returned; 0 picks automatically:
+    the largest of 4·S / 2·S / S that divides the batch AND leaves the
+    microbatch divisible by the 'data' axis (each microbatch is
+    batch-sharded over dp inside the stage body). More microbatches →
+    smaller bubble (S-1)/(M+S-1) but smaller per-tick GEMMs; 4·S caps the
+    bubble at ~(S-1)/(5S-1) ≈ 20% without shrinking tiles too far.
+    """
+    def ok(m):
+        return (m >= stages and batch % m == 0
+                and (batch // m) % max(1, data) == 0)
+
+    if requested:
+        if not ok(requested):
+            raise ValueError(
+                f"mesh.pipe_microbatches={requested} invalid for batch "
+                f"{batch}, {stages} stages, dp={data}: need M >= stages, "
+                "M | batch, dp | batch/M")
+        return requested
+    preferred = (4 * stages, 2 * stages, stages)
+    for m in preferred:
+        if ok(m):
+            return m
+    # ragged batches (wrap-padded eval tails): any valid count, largest
+    # first within the preferred bubble range
+    for m in range(4 * stages, stages - 1, -1):
+        if ok(m):
+            return m
+    raise ValueError(
+        f"no valid GPipe microbatch count for batch {batch} over "
+        f"{stages} stages × dp={data} (try a batch divisible by "
+        f"{4 * stages * max(1, data)})")
 
 
 def pipeline_forward_fn(mesh: Mesh, cfg: ModelConfig,

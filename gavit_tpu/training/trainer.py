@@ -104,6 +104,28 @@ class Trainer:
         self.config = config
         self.wandb = wandb_run
         self.mesh = mesh if mesh is not None else make_mesh(config.mesh)
+        self._pipe = self.mesh.shape.get("pipe", 1)
+        if self._pipe > 1:
+            # pipeline parallelism as a config axis (r5): the train/eval
+            # steps run the GPipe trunk of parallel/pp.py over this mesh.
+            # Scope guards mirror pipeline_apply's (loud, at build time).
+            m = config.model
+            if m.moe.enabled:
+                raise ValueError("mesh.pipe > 1 requires moe.enabled=false "
+                                 "(homogeneous block stack; MoE scales via "
+                                 "dp/EP)")
+            if m.graph.enabled and not m.graph.dynamic:
+                raise ValueError(
+                    "mesh.pipe > 1 supports graph.dynamic=true only (the "
+                    "static adjacency cache cannot ride the pipeline — "
+                    "parallel/pp.py)")
+            if m.drop_path_rate > 0.0:
+                raise ValueError("mesh.pipe > 1 requires drop_path_rate=0 "
+                                 "(per-layer stochastic-depth rates don't "
+                                 "fit the stacked-layer scan)")
+            if config.training.qat:
+                raise ValueError("mesh.pipe > 1 does not compose with "
+                                 "training.qat")
         if self.mesh.shape.get("model", 1) > 1:
             # All fused kernels stay in play under TP: the trainer traces
             # inside a jax.set_mesh context, so Attention pins a
@@ -270,10 +292,28 @@ class Trainer:
 
         quant_vars = self._quant
         moe_on = self.config.model.moe.enabled
+        pipe = self._pipe
+        if pipe > 1:
+            from gavit_tpu.parallel.pp import pick_microbatches
+
+            model_cfg = self.config.model
+            pipe_dtype = getattr(model, "dtype", jnp.float32)
+            pipe_mb = functools.partial(
+                pick_microbatches, stages=pipe,
+                data=self.mesh.shape.get("data", 1),
+                requested=self.config.mesh.pipe_microbatches)
 
         def grad_fn(params, x, labels, k_drop):
             def loss_fn(params):
-                if moe_on:
+                if pipe > 1:
+                    from gavit_tpu.parallel.pp import pipeline_apply
+
+                    logits = pipeline_apply(
+                        mesh, model_cfg, params["model"], x,
+                        pipe_mb(x.shape[0]), dtype=pipe_dtype,
+                        deterministic=False, rng=k_drop)
+                    aux = 0.0
+                elif moe_on:
                     # mutable collection so the MoE blocks' sown auxiliary
                     # losses (load-balance + router-z, config-weighted at
                     # the sow site) reach the objective
@@ -409,14 +449,31 @@ class Trainer:
     def _build_eval_step(self):
         model, pos_weight = self.model, self.pos_weight
         quant_vars = self._quant
+        pipe, mesh = self._pipe, self.mesh
+        if pipe > 1:
+            from gavit_tpu.parallel.pp import pick_microbatches
+
+            model_cfg = self.config.model
+            pipe_dtype = getattr(model, "dtype", jnp.float32)
+            pipe_mb = functools.partial(
+                pick_microbatches, stages=pipe,
+                data=mesh.shape.get("data", 1),
+                requested=self.config.mesh.pipe_microbatches)
 
         @jax.jit
         def eval_step(params, images, labels):
             x = val_preprocess(images) if images.dtype == jnp.uint8 else images
-            logits = model.apply(
-                {"params": params["model"], **quant_vars}, x,
-                deterministic=True
-            )
+            if pipe > 1:
+                from gavit_tpu.parallel.pp import pipeline_apply
+
+                logits = pipeline_apply(
+                    mesh, model_cfg, params["model"], x,
+                    pipe_mb(x.shape[0]), dtype=pipe_dtype)
+            else:
+                logits = model.apply(
+                    {"params": params["model"], **quant_vars}, x,
+                    deterministic=True
+                )
             # per-example losses: tail batches are wrap-padded for the mesh,
             # so the host averages over genuine rows only (this also weights
             # every sample equally instead of every batch equally)
