@@ -181,3 +181,87 @@ def test_fused_knn_grad_consistent_with_forward_on_ties():
     gt_r, gv_r = jax.grad(f_ref, argnums=(0, 1))(t, v)
     np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_r), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# r5: large-N chunked path + size dispatcher
+# ---------------------------------------------------------------------------
+
+
+def _rand(b, n, d, seed=0):
+    rng = np.random.RandomState(seed)
+    t = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+    return t, v
+
+
+@pytest.mark.parametrize("mode,kwargs", [
+    ("knn", {"k": 4}),
+    ("dense", {}),
+    ("threshold", {"threshold": 0.2}),
+])
+def test_chunked_matches_reference_forward_and_grads(mode, kwargs):
+    """graph_aggregate_chunked == build_adjacency + graph_aggregate, fwd
+    and gradients, at a chunk that does NOT divide N (pad-row path)."""
+    from gavit_tpu.ops.graph_ops import (build_adjacency,
+                                         graph_aggregate,
+                                         graph_aggregate_chunked)
+
+    t, v = _rand(2, 37, 16)
+
+    def ref(t, v):
+        adj = build_adjacency(t, mode=mode, temperature=0.7, **kwargs)
+        return jnp.sum(graph_aggregate(adj, v) ** 2)
+
+    def chunked(t, v):
+        out = graph_aggregate_chunked(t, v, mode=mode, temperature=0.7,
+                                      chunk=16, **kwargs)
+        return jnp.sum(out ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(ref, argnums=(0, 1))(t, v)
+    l_c, g_c = jax.value_and_grad(chunked, argnums=(0, 1))(t, v)
+    np.testing.assert_allclose(float(l_c), float(l_ref), rtol=1e-5)
+    for a, b in zip(g_c, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_chunked_knn_duplicate_token_ties_match_reference():
+    """The chunked path uses the SAME stable lax.top_k — duplicate tokens
+    (identical similarities) select identical edges to the XLA path."""
+    from gavit_tpu.ops.graph_ops import (build_adjacency, graph_aggregate,
+                                         graph_aggregate_chunked)
+
+    rng = np.random.RandomState(3)
+    t = np.tile(rng.randn(1, 1, 8), (1, 24, 1)).astype(np.float32)  # all dup
+    v = rng.randn(1, 24, 8).astype(np.float32)
+    ref = graph_aggregate(build_adjacency(jnp.asarray(t), mode="knn", k=5),
+                          jnp.asarray(v))
+    out = graph_aggregate_chunked(jnp.asarray(t), jnp.asarray(v),
+                                  mode="knn", k=5, chunk=7)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_size_dispatcher_routes_large_n_to_chunked():
+    """fused_graph_aggregate: kernel within the VMEM budget, chunked past
+    the cliff — and the large-N branch agrees with the XLA reference."""
+    from gavit_tpu.ops.graph_ops import (build_adjacency, graph_aggregate,
+                                         fused_graph_aggregate,
+                                         needs_chunked)
+
+    assert not needs_chunked(197, 768, 2)      # flagship 224px
+    assert not needs_chunked(577, 768, 2)      # 384px
+    assert needs_chunked(1025, 768, 2)         # 512px
+    assert needs_chunked(4097, 768, 2)         # 1024px (north-star scale)
+
+    t, v = _rand(1, 1025, 8, seed=5)
+    ref = graph_aggregate(build_adjacency(t, mode="knn", k=8), v)
+    out = fused_graph_aggregate(t, v, "knn", 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_chunk_picker_minimises_padding():
+    from gavit_tpu.ops.graph_ops import _pick_chunk
+
+    assert _pick_chunk(1025) == 384            # pads to 1152 (vs 1536/1280)
+    assert _pick_chunk(4097) == 384            # pads to 4224
+    assert 197 % _pick_chunk(197) in range(197)  # small n: a valid chunk
