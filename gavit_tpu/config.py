@@ -173,10 +173,12 @@ class MoEConfig:
     #              (ops/moe_grouped.py): no capacity, no dropped tokens,
     #              no dispatch/combine one-hot GEMMs; EP runs local-expert
     #              grouping + one psum (no all-to-all).
-    #  'auto'    — the measured crossover as policy (BASELINE.md r4 probe):
-    #              grouped at ≥ GROUPED_MIN_PAIRS routed pairs per device
-    #              (b128-class steps), dense below (b64-class); resolved
-    #              per traced shape, logged (models/moe.py).
+    #  'auto'    — measured policy (models/moe.py::resolve_moe_impl):
+    #              grouped whenever the r5 fused megakernel is available
+    #              (it beats dense at every measured batch —
+    #              BASELINE.md r5 row); otherwise the r4 crossover:
+    #              grouped at ≥ GROUPED_MIN_PAIRS routed pairs per device,
+    #              dense below. Resolved per traced shape, logged.
     impl: str = "dense"
     # per-expert buffer = ceil(k · tokens · capacity_factor / num_experts);
     # overflow tokens pass through the residual unchanged ('dense' impl

@@ -48,14 +48,18 @@ from gavit_tpu.config import MoEConfig
 
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 
-# Measured engine crossover (BASELINE.md r4 scaling probe, commits
-# 1d26830/c0a2103): the grouped engine's routing/gather machinery is
+# Measured engine crossover for the UNFUSED grouped engine (BASELINE.md r4
+# scaling probe, commits 1d26830/c0a2103): its routing/gather machinery is
 # ~fixed per step while the slot-padding waste it reclaims scales with
 # tokens — grouped wins at b128-class steps (T = 128·197·2 = 50432 routed
-# pairs/device: 261.8 vs 283.8 ms), dense below (b64, T = 25216: 130.3 vs
-# 153.9 train, 29.0 vs 32.4 infer; same ordering at E=16). Threshold =
-# the midpoint of the measured bracket; override for probes via
-# GAVIT_MOE_AUTO_PAIRS.
+# pairs/device: 261.8 vs 283.8 ms), dense below (b64, T = 25216).
+# Threshold = the midpoint of the measured bracket; override for probes
+# via GAVIT_MOE_AUTO_PAIRS. With the r5 FUSED megakernel available
+# (ops/moe_fused.py — TPU, not kill-switched) the crossover disappears:
+# fused grouped beats dense at every measured point (b64 train 112.0 vs
+# 130.5 ms, b128 211.5 vs 283.6, infer 29.0 vs 28.8 ≈ tie —
+# logs/r5_moe_fused.log), so 'auto' resolves grouped unconditionally
+# there.
 GROUPED_MIN_PAIRS = 37824
 
 
@@ -88,7 +92,14 @@ def resolve_moe_impl(impl: str, pairs: int) -> str:
         if impl not in ("dense", "grouped"):
             raise ValueError(f"unknown model.moe.impl {impl!r}")
         return impl
-    choice = "grouped" if pairs >= _auto_threshold() else "dense"
+    from gavit_tpu.ops.moe_fused import use_fused
+
+    if use_fused(0.0, True, None):
+        # fused megakernel available: grouped wins (or ties) at every
+        # measured batch — no crossover to encode (r5)
+        choice = "grouped"
+    else:
+        choice = "grouped" if pairs >= _auto_threshold() else "dense"
     key = (pairs, choice)
     if key not in _logged_choices:
         _logged_choices.add(key)
