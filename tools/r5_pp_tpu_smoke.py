@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Pipeline stage bodies with the DEFAULT (Pallas) impls, lowered on real
+TPU hardware.
+
+Multi-chip pp cannot run on this 1-chip host, but the load-bearing risk of
+lifting the r3 ``attn_impl/mlp_impl='xla'`` pin is whether Mosaic kernels
+lower and execute INSIDE the manual shard_map region at all — that is
+testable on a 1-stage ('pipe','data') mesh over the single chip. Runs a
+full pipelined fwd+bwd (dropout on → fused attention/MLP/dropout kernels
+engaged) and checks the logits against the sequential model.
+
+Run detached: nohup python tools/r5_pp_tpu_smoke.py >> logs/r5_pp_smoke.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("GAVIT_PLATFORM", "") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import gavit_tpu
+
+    gavit_tpu.setup_compilation_cache()
+    from gavit_tpu.config import from_dict
+    from gavit_tpu.models.vit import build_model, init_params
+    from gavit_tpu.parallel.pp import make_pipe_mesh, pipeline_apply
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = from_dict({
+        "model": {"name": "vit_base_16" if on_tpu else "custom",
+                  "img_size": 224 if on_tpu else 32,
+                  "patch_size": 16 if on_tpu else 8,
+                  **({} if on_tpu else {"embed_dim": 64, "depth": 2,
+                                        "num_heads": 2}),
+                  "num_classes": 14, "drop_rate": 0.1,
+                  "graph": {"enabled": True, "num_blocks": 2,
+                            "adjacency": "knn", "k": 8 if on_tpu else 3,
+                            "dynamic": True}},
+    })
+    precision = "bf16" if on_tpu else "fp32"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model = build_model(cfg.model, precision=precision)
+    params = init_params(model, jax.random.key(0))
+    mesh = make_pipe_mesh(1, data=1)
+    b = 32 if on_tpu else 4
+    img = cfg.model.img_size
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (b, img, img, 3)), jnp.float32)
+    print(f"pp smoke backend={jax.default_backend()} S=1 b={b}", flush=True)
+
+    @jax.jit
+    def pipe_fwd(p, x):
+        return pipeline_apply(mesh, cfg.model, p, x, num_microbatches=4,
+                              dtype=dtype)
+
+    @jax.jit
+    def pipe_loss_grad(p, x, key):
+        def loss(p):
+            logits = pipeline_apply(mesh, cfg.model, p, x,
+                                    num_microbatches=4, dtype=dtype,
+                                    deterministic=False, rng=key)
+            return jnp.mean(logits ** 2)
+
+        return jax.value_and_grad(loss)(p)
+
+    t0 = time.perf_counter()
+    out = pipe_fwd(params, x)
+    ref = model.apply({"params": params}, x, deterministic=True)
+    err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                - ref.astype(jnp.float32))))
+    print(f"pp fwd (default impls, in-shard_map) compile+run "
+          f"{time.perf_counter() - t0:.0f}s, |Δlogit| vs sequential "
+          f"{err:.2e} ({'OK' if err < (2e-2 if on_tpu else 1e-4) else 'FAIL'})",
+          flush=True)
+
+    t0 = time.perf_counter()
+    val, grads = pipe_loss_grad(params, x, jax.random.key(1))
+    gn = sum(float(jnp.sum(g.astype(jnp.float32) ** 2))
+             for g in jax.tree.leaves(grads))
+    print(f"pp fwd+bwd with dropout (fused kernels) compile+run "
+          f"{time.perf_counter() - t0:.0f}s, loss {float(val):.4f}, "
+          f"grad sumsq finite={np.isfinite(gn)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
