@@ -281,6 +281,15 @@ def needs_chunked(n: int, d: int, itemsize: int) -> bool:
     return _kernel_vmem_need(n, d, itemsize) > _KERNEL_VMEM_BUDGET
 
 
+def _chunk_topk_impl() -> str:
+    """kNN selection inside the chunked path: 'topk' (lax.top_k) or 'iter'
+    (k max-extraction passes). Default from the r5 TPU A/B
+    (GAVIT_GRAPH_TOPK overrides)."""
+    import os
+
+    return os.environ.get("GAVIT_GRAPH_TOPK", "topk")
+
+
 def _pick_chunk(n: int) -> int:
     """Query-row chunk: smallest padded total, largest chunk on ties —
     keeps the [chunk, N] similarity slice MXU-shaped while wasting the
@@ -333,8 +342,28 @@ def graph_aggregate_chunked(tokens, values, mode: str = "knn", k: int = 8,
             mask = jnp.broadcast_to(no_self, sim.shape)
         elif mode == "knn":
             masked = jnp.where(no_self, sim, _NEG_INF)
-            idx = jax.lax.top_k(masked, kk)[1]
-            mask = jnp.any(idx[..., None] == cols, axis=-2)
+            if _chunk_topk_impl() == "iter":
+                # k leftmost-max extraction passes (the fused kernel's
+                # loop): O(k·N) VPU reductions instead of lax.top_k's
+                # sort-based lowering — same stable lower-index-first tie
+                # rule, pinned by the duplicate-token test
+                col_f = cols.astype(jnp.float32)
+                big = jnp.float32(sim.shape[-1])
+                work = masked
+                mask = jnp.zeros(sim.shape, bool)
+                for _ in range(kk):
+                    m = jnp.max(work, axis=-1, keepdims=True)
+                    is_max = work >= m
+                    first = jnp.min(
+                        jnp.where(is_max, col_f, big), axis=-1,
+                        keepdims=True)
+                    hit = col_f == first
+                    mask = mask | hit
+                    work = jnp.where(hit, _NEG_INF, work)
+                mask = mask & no_self
+            else:
+                idx = jax.lax.top_k(masked, kk)[1]
+                mask = jnp.any(idx[..., None] == cols, axis=-2)
         elif mode == "threshold":
             mask = (sim > threshold) & no_self
             row_any = jnp.any(mask, axis=-1, keepdims=True)

@@ -265,3 +265,20 @@ def test_chunk_picker_minimises_padding():
     assert _pick_chunk(1025) == 384            # pads to 1152 (vs 1536/1280)
     assert _pick_chunk(4097) == 384            # pads to 4224
     assert 197 % _pick_chunk(197) in range(197)  # small n: a valid chunk
+
+
+def test_chunked_iter_topk_matches_lax_topk(monkeypatch):
+    """The 'iter' selection (k leftmost-max extractions) == lax.top_k
+    selection, including duplicate-similarity ties."""
+    from gavit_tpu.ops import graph_ops as go
+
+    rng = np.random.RandomState(0)
+    t = rng.randn(2, 29, 8).astype(np.float32)
+    t[0, 5] = t[0, 9] = t[0, 13]          # exact duplicates -> ties
+    v = rng.randn(2, 29, 8).astype(np.float32)
+    ref = go.graph_aggregate_chunked(jnp.asarray(t), jnp.asarray(v),
+                                     mode="knn", k=6, chunk=8)
+    monkeypatch.setenv("GAVIT_GRAPH_TOPK", "iter")
+    out = go.graph_aggregate_chunked(jnp.asarray(t), jnp.asarray(v),
+                                     mode="knn", k=6, chunk=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
