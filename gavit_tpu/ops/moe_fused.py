@@ -435,6 +435,97 @@ def _crp_bwd(res, g):
 combine_rows_padded.defvjp(_crp_fwd, _crp_bwd)
 
 
+def group_local_experts_tiled(gate_idx, first, e_loc: int,
+                              cap_per_expert: int, tm: int):
+    """Tile-aligned variant of ``group_local_experts`` for the fused EP
+    path: each local expert owns a STATIC region of
+    ``round_up(cap_per_expert, tm)`` rows (kept pairs pack at its start),
+    so offsets, the tile→expert map and the tgmm group sizes are all
+    static — no data-dependent bookkeeping at all.
+
+    Returns (dest [T] — ``cap_pad`` marks non-local/over-capacity pairs,
+    src [cap_pad], used [cap_pad] bool, tile_group [n_tiles] np.int32
+    STATIC, group_sizes [E_loc] np.int32 STATIC).
+    """
+    import numpy as np
+
+    region = _round_up(cap_per_expert, tm)
+    cap_pad = e_loc * region
+    flat = gate_idx.reshape(-1).astype(jnp.int32)
+    t = flat.shape[0]
+    rel = flat - jnp.int32(first)
+    local = (rel >= 0) & (rel < e_loc)
+    onehot = ((rel[:, None] == jnp.arange(e_loc, dtype=jnp.int32)[None, :])
+              & local[:, None]).astype(jnp.int32)
+    pos = jnp.sum((jnp.cumsum(onehot, axis=0) - onehot) * onehot, axis=1)
+    keep = local & (pos < cap_per_expert)
+    dest = jnp.where(keep, jnp.clip(rel, 0, e_loc - 1) * region + pos,
+                     cap_pad)
+    src = jnp.zeros((cap_pad,), jnp.int32).at[dest].set(
+        jnp.arange(t, dtype=jnp.int32), mode="drop")
+    used = jnp.zeros((cap_pad,), bool).at[dest].set(True, mode="drop")
+    tile_group = np.repeat(np.arange(e_loc, dtype=np.int32), region // tm)
+    group_sizes = np.full((e_loc,), region, np.int32)
+    return dest, src, used, jnp.asarray(tile_group), jnp.asarray(group_sizes)
+
+
+def grouped_moe_mlp_ep_fused(x, gate_vals, gate_idx, w1, b1, w2, b2, key, *,
+                             first, cap_per_expert: int, drop: float = 0.0,
+                             deterministic: bool = True,
+                             approx_gelu: bool = False,
+                             interpret: bool = False):
+    """One expert-parallel shard's slice of the MoE MLP on the fused
+    megakernel (drop-in for ``ops.moe_grouped.grouped_moe_mlp_ep`` —
+    identical math incl. per-expert capacity drops; caller psums over the
+    expert axis)."""
+    from gavit_tpu.ops.dropout import dropout_seed
+
+    g, s, d = x.shape
+    e_loc = w1.shape[0]
+    k = gate_idx.shape[-1]
+    tm = fused_tm(g * s * k)
+    dest, src, used, tile_group, group_sizes = group_local_experts_tiled(
+        gate_idx, first, e_loc, cap_per_expert, tm)
+    cap_pad = int(used.shape[0])
+    from gavit_tpu.ops.moe_grouped import _dispatch_rows
+
+    # masked dispatch (scatter-free transpose): non-kept pairs gather row 0
+    # garbage into pad rows whose outputs are never read; their cotangent
+    # is zeroed by the masked VJP
+    x_sorted = _dispatch_rows(x.reshape(g * s, d), src // k, dest, k, True)
+    rate = drop if (not deterministic and drop > 0.0) else 0.0
+    seed = (dropout_seed(key) if rate > 0.0
+            else jnp.zeros((1,), jnp.int32))
+    y = fused_grouped_mlp(x_sorted, w1, b1, w2, b2, tile_group, group_sizes,
+                          seed, rate, rate, approx_gelu, tm, interpret)
+    # combine with OOB masking (dest == cap_pad for dropped/remote pairs)
+    safe = jnp.minimum(dest, cap_pad - 1)
+    y_tok = jnp.where((dest < cap_pad)[:, None],
+                      _combine_padded_oob(y, safe, src, used), 0)
+    y_tok = y_tok.reshape(g, s, k, d)
+    out = jnp.sum(gate_vals[..., None] * y_tok.astype(jnp.float32), axis=2)
+    return out.astype(x.dtype)
+
+
+@jax.custom_vjp
+def _combine_padded_oob(y, safe_dest, src, used):
+    return y[safe_dest]
+
+
+def _cpo_fwd(y, safe_dest, src, used):
+    return y[safe_dest], (src, used)
+
+
+def _cpo_bwd(res, g):
+    src, used = res
+    # pad/unused rows get exactly zero; the caller's where() already zeroed
+    # the OOB pairs' upstream grad contribution via its own select
+    return jnp.where(used[:, None], g[src], 0), None, None, None
+
+
+_combine_padded_oob.defvjp(_cpo_fwd, _cpo_bwd)
+
+
 def grouped_moe_mlp_fused(x, gate_vals, gate_idx, w1, b1, w2, b2, key, *,
                           drop: float = 0.0, deterministic: bool = True,
                           approx_gelu: bool = False,

@@ -307,6 +307,19 @@ def grouped_moe_mlp_ep(x, gate_vals, gate_idx, w1, b1, w2, b2, key, *,
     cap = e_loc * cap_per_expert
     impl = resolve_matmul_impl(matmul_impl)
 
+    if impl == "megablox":
+        from gavit_tpu.ops.moe_fused import (grouped_moe_mlp_ep_fused,
+                                             use_fused)
+
+        if use_fused(drop, deterministic, x.dtype):
+            # fused megakernel over STATIC per-expert regions (r5): same
+            # per-expert capacity-drop semantics, zero data-dependent
+            # bookkeeping
+            return grouped_moe_mlp_ep_fused(
+                x, gate_vals, gate_idx, w1, b1, w2, b2, key,
+                first=first, cap_per_expert=cap_per_expert, drop=drop,
+                deterministic=deterministic, approx_gelu=approx_gelu)
+
     dest, src, kept = group_local_experts(gate_idx, first, e_loc,
                                           cap_per_expert)
     x_sorted = _dispatch_rows(x.reshape(g * s, d), src // k, dest, k, True)

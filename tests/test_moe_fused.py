@@ -171,3 +171,41 @@ def test_fused_dropout_training_path(monkeypatch):
                                  - np.asarray(det)))) > 1e-4
     for g in jax.tree.leaves(grads):
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_fused_ep_matches_unfused_ep_including_drops():
+    """grouped_moe_mlp_ep_fused == the unfused EP shard op: same per-expert
+    capacity-drop semantics, same partial-output contract (remote pairs
+    contribute zero), forward AND gradients."""
+    from gavit_tpu.ops.moe_fused import grouped_moe_mlp_ep_fused
+    from gavit_tpu.ops.moe_grouped import grouped_moe_mlp_ep
+
+    x, gv, _, weights = _toy(g=2, s=8, e=4)
+    # expert 0 hot (drops past cap), second choices over 1-3; this shard
+    # owns experts 0-1 only (first=0, e_loc=2) -> expert 2/3 pairs remote
+    second = (np.arange(16).reshape(2, 8) % 3 + 1).astype(np.int32)
+    gi = jnp.stack([jnp.zeros((2, 8), jnp.int32), jnp.asarray(second)],
+                   axis=-1)
+    w_loc = tuple(w[:2] for w in weights)
+    key = jax.random.PRNGKey(0)
+    cpe = 10
+
+    def ref(x, gv, w):
+        out = grouped_moe_mlp_ep(x, gv, gi, *w, key, first=0,
+                                 cap_per_expert=cpe,
+                                 matmul_impl="ragged_dot")
+        return jnp.sum(out ** 2), out
+
+    def fused(x, gv, w):
+        out = grouped_moe_mlp_ep_fused(x, gv, gi, *w, key, first=0,
+                                       cap_per_expert=cpe, interpret=True)
+        return jnp.sum(out ** 2), out
+
+    (l_r, o_r), g_r = jax.value_and_grad(ref, argnums=(0, 1, 2),
+                                         has_aux=True)(x, gv, w_loc)
+    (l_f, o_f), g_f = jax.value_and_grad(fused, argnums=(0, 1, 2),
+                                         has_aux=True)(x, gv, w_loc)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_r), atol=1e-5)
+    np.testing.assert_allclose(float(l_f), float(l_r), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
