@@ -282,12 +282,17 @@ def needs_chunked(n: int, d: int, itemsize: int) -> bool:
 
 
 def _chunk_topk_impl() -> str:
-    """kNN selection inside the chunked path: 'topk' (lax.top_k) or 'iter'
-    (k max-extraction passes). Default from the r5 TPU A/B
-    (GAVIT_GRAPH_TOPK overrides)."""
+    """kNN selection inside the chunked path: 'iter' (k leftmost-max
+    extraction passes — VPU reductions) or 'topk' (lax.top_k's sort-based
+    lowering). Default 'iter' on TPU from the r5 interleaved recheck
+    (`logs/r5_graph_recheck.log`): 3.3 vs 7.2 ms/call at N=1025 b8, 6.8 vs
+    25.3 at N=4097 b2 — the sort dominates the chunked path's cost. CPU
+    keeps lax.top_k (the extraction loop is slower off-TPU).
+    GAVIT_GRAPH_TOPK overrides."""
     import os
 
-    return os.environ.get("GAVIT_GRAPH_TOPK", "topk")
+    default = "iter" if jax.default_backend() == "tpu" else "topk"
+    return os.environ.get("GAVIT_GRAPH_TOPK", default)
 
 
 def _pick_chunk(n: int) -> int:

@@ -46,11 +46,11 @@ def main():
     # --- 1. ViT-L + MoE engines, train b64 ---------------------------------
     name = "vit_large_16" if on_tpu else "custom"
     img = 224 if on_tpu else 32
-    bs = 64 if on_tpu else 8
+    bs = 32 if on_tpu else 8
     steps = 15 if on_tpu else 2
-    for label, impl, fused in (("dense", "dense", "1"),
-                               ("grouped-fused", "grouped", "1"),
-                               ("grouped-unfused", "grouped", "0")):
+    for label, impl, fused in (("grouped-fused", "grouped", "1"),
+                               ("grouped-unfused", "grouped", "0"),
+                               ("dense", "dense", "1")):
         os.environ["GAVIT_MOE_FUSED"] = fused
         cfg = from_dict({
             "model": ({} if on_tpu else {"embed_dim": 64, "depth": 4,
@@ -61,11 +61,31 @@ def main():
                 "graph": {"enabled": True, "num_blocks": 2,
                           "adjacency": "knn", "k": 8 if on_tpu else 3},
                 "moe": {"enabled": True, "num_experts": 8, "k": 2,
-                        "every": 2, "impl": impl}},
+                        "every": 2, "impl": impl,
+                        "grouped_remat": True}},
             "data": {"batch_size": bs, "image_size": img},
             "training": {"epochs": 10, "warmup_epochs": 1,
                          "precision": "bf16" if on_tpu else "fp32"},
         })
+        try:
+            _run_leg(cfg, label, bs, img, steps, rng)
+        except Exception as e:
+            print(f"[vitL-moe {label}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+    os.environ.pop("GAVIT_MOE_FUSED", None)
+
+    run_1024px(on_tpu, rng)
+
+
+def _run_leg(cfg, label, bs, img, steps, rng):
+    import time
+
+    from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
+    from gavit_tpu.models.vit import build_model, init_params
+    from gavit_tpu.parallel.mesh import make_mesh, shard_batch
+    from gavit_tpu.training import Trainer
+
+    if True:
         model = build_model(cfg.model, precision=cfg.training.precision)
         params = init_params(model, jax.random.key(0))
         mesh = make_mesh(cfg.mesh)
@@ -91,8 +111,14 @@ def main():
         ms = (time.perf_counter() - t0) / steps * 1000
         print(f"[vitL-moe {label}] train b{bs}: {ms:.1f} ms/step -> "
               f"{bs / ms * 1000:.0f} img/s/chip", flush=True)
-        del tr, state, params, model
-    os.environ.pop("GAVIT_MOE_FUSED", None)
+
+
+def run_1024px(on_tpu, rng):
+    import time
+
+    import gavit_tpu  # noqa: F401
+    from gavit_tpu.config import from_dict
+    from gavit_tpu.models.vit import build_model, init_params
 
     # --- 2. 1024px ViT-B+graph2 forward (N=4097) ---------------------------
     if not on_tpu:
