@@ -43,7 +43,10 @@ def main():
     rng = np.random.default_rng(0)
     print(f"r5 misc probe backend={jax.default_backend()}", flush=True)
 
-    # --- 1. ViT-L + MoE engines, train b64 ---------------------------------
+    run_1024px(on_tpu, rng)
+
+    # --- 1. ViT-L + MoE engines (E=4 — E=8's 930M params x 3 fp32 copies
+    # exceed one 16 GiB chip; see BASELINE.md row) ------------------------
     name = "vit_large_16" if on_tpu else "custom"
     img = 224 if on_tpu else 32
     bs = 32 if on_tpu else 8
@@ -60,7 +63,7 @@ def main():
                 "num_classes": 14, "drop_rate": 0.1,
                 "graph": {"enabled": True, "num_blocks": 2,
                           "adjacency": "knn", "k": 8 if on_tpu else 3},
-                "moe": {"enabled": True, "num_experts": 8, "k": 2,
+                "moe": {"enabled": True, "num_experts": 4, "k": 2,
                         "every": 2, "impl": impl,
                         "grouped_remat": True}},
             "data": {"batch_size": bs, "image_size": img},
@@ -74,7 +77,6 @@ def main():
                   f"{str(e)[:200]}", flush=True)
     os.environ.pop("GAVIT_MOE_FUSED", None)
 
-    run_1024px(on_tpu, rng)
 
 
 def _run_leg(cfg, label, bs, img, steps, rng):
