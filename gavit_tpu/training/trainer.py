@@ -308,10 +308,17 @@ class Trainer:
                 if pipe > 1:
                     from gavit_tpu.parallel.pp import pipeline_apply
 
+                    # wrap-pad ragged tails to a pipe·dp multiple (same
+                    # rationale as the eval step); sliced back before the
+                    # loss, so pad rows contribute nothing
+                    b = x.shape[0]
+                    quantum = pipe * mesh.shape.get("data", 1)
+                    b_pad = -(-b // quantum) * quantum
+                    xp = (x[jnp.arange(b_pad) % b] if b_pad != b else x)
                     logits = pipeline_apply(
-                        mesh, model_cfg, params["model"], x,
-                        pipe_mb(x.shape[0]), dtype=pipe_dtype,
-                        deterministic=False, rng=k_drop)
+                        mesh, model_cfg, params["model"], xp,
+                        pipe_mb(b_pad), dtype=pipe_dtype,
+                        deterministic=False, rng=k_drop)[:b]
                     aux = 0.0
                 elif moe_on:
                     # mutable collection so the MoE blocks' sown auxiliary
@@ -466,9 +473,23 @@ class Trainer:
             if pipe > 1:
                 from gavit_tpu.parallel.pp import pipeline_apply
 
+                # ragged eval tails arrive padded only to a dp multiple
+                # (shard_batch_padded); the GPipe schedule needs a batch
+                # admitting a valid microbatch count — wrap-pad up to a
+                # pipe·dp multiple in-step and slice the logits back (pad
+                # rows are dupes of real ones; their loss rows are dropped
+                # by the caller's valid mask like every other pad row)
+                b = x.shape[0]
+                quantum = pipe * mesh.shape.get("data", 1)
+                b_pad = -(-b // quantum) * quantum
+                if b_pad != b:
+                    idx = jnp.arange(b_pad) % b
+                    xp = x[idx]
+                else:
+                    xp = x
                 logits = pipeline_apply(
-                    mesh, model_cfg, params["model"], x,
-                    pipe_mb(x.shape[0]), dtype=pipe_dtype)
+                    mesh, model_cfg, params["model"], xp,
+                    pipe_mb(b_pad), dtype=pipe_dtype)[:b]
             else:
                 logits = model.apply(
                     {"params": params["model"], **quant_vars}, x,

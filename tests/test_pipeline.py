@@ -284,3 +284,32 @@ def test_pipe_config_validations(tmp_path):
     assert pick_microbatches(12, 2, 1, requested=6) == 6
     with pytest.raises(ValueError, match="invalid"):
         pick_microbatches(8, 2, 1, requested=3)
+
+
+def test_pipe_trainer_ragged_tail_batches(tmp_path):
+    """Ragged tail batches (padded only to a dp multiple by the loader
+    path) train AND evaluate under mesh.pipe — the steps wrap-pad to a
+    pipe*dp multiple in-step and slice back (r5 self-review fix)."""
+    from gavit_tpu.parallel.mesh import shard_batch
+
+    tr = _pipe_trainer(tmp_path, {"pipe": 2, "data": 2})
+    # batch of 6: divisible by dp(2) but admits no M with M>=S and
+    # dp | 6/M... (M=2 -> 3 rows/micro, 3 % 2 != 0; M=3 -> not | ... )
+    images = jnp.asarray(np.random.RandomState(0).rand(6, 16, 16, 3),
+                         jnp.float32)
+    labels = jnp.asarray((np.random.RandomState(1).rand(6, 14) < 0.3),
+                         jnp.float32)
+    batch = shard_batch(tr.mesh, (images, labels))
+    state, metrics, preds = tr._train_step(tr.state, tr.base_rng, *batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert preds.shape == (6, 14)
+    probs, loss_vec = tr._eval_step(state.params, *batch)
+    assert probs.shape == (6, 14)
+    assert np.isfinite(np.asarray(loss_vec)).all()
+    # the wrap-pad is invisible: the same 6 rows evaluated at batch 8
+    # (a clean quantum multiple, rows 0-5 identical) give identical probs
+    idx = np.arange(8) % 6
+    b8 = shard_batch(tr.mesh, (images[idx], labels[idx]))
+    probs8, _ = tr._eval_step(state.params, *b8)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(probs8)[:6],
+                               atol=1e-5)
