@@ -295,17 +295,29 @@ def _chunk_topk_impl() -> str:
     return os.environ.get("GAVIT_GRAPH_TOPK", default)
 
 
+# [chunk, N] slice-element cap: the checkpointed chunk body's BACKWARD
+# fusion holds several such fp32 buffers in scoped VMEM at once — at
+# chunk=384, N=4097 (1.62M elements) XLA overflowed the 16 MB scoped
+# limit by 156 KB inside the recompute (r5, logs/r5_1024_train.log);
+# 384·1152 = 442k (N=1025) trains fine. 600k keeps ~1.4× headroom over
+# the known-good point while still allowing chunk=128 at N=4097.
+_CHUNK_ELEMS = 600_000
+
+
 def _pick_chunk(n: int) -> int:
     """Query-row chunk: smallest padded total, largest chunk on ties —
     keeps the [chunk, N] similarity slice MXU-shaped while wasting the
-    fewest pad rows (N=1025 → 384; N=4097 → 384; override:
-    GAVIT_GRAPH_CHUNK)."""
+    fewest pad rows — bounded by the scoped-VMEM element cap above
+    (N=1025 → 384; N=4097 → 128; override: GAVIT_GRAPH_CHUNK)."""
     import os
 
     env = os.environ.get("GAVIT_GRAPH_CHUNK")
     if env:
         return int(env)
-    cands = [c for c in (512, 384, 256, 128) if c < n] or [n]
+    if n <= 64:
+        return n
+    cands = [c for c in (512, 384, 256, 128)
+             if c < n and c * n <= _CHUNK_ELEMS] or [64]
     return min(cands, key=lambda c: (-(-n // c) * c, -c))
 
 

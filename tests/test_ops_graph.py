@@ -263,8 +263,11 @@ def test_chunk_picker_minimises_padding():
     from gavit_tpu.ops.graph_ops import _pick_chunk
 
     assert _pick_chunk(1025) == 384            # pads to 1152 (vs 1536/1280)
-    assert _pick_chunk(4097) == 384            # pads to 4224
-    assert 197 % _pick_chunk(197) in range(197)  # small n: a valid chunk
+    # huge N: the scoped-VMEM element cap bounds the slice (chunk*N <= 600k
+    # — the r5 1024px-train overflow fix), so 4097 drops to 128
+    assert _pick_chunk(4097) == 128
+    assert _pick_chunk(4097) * 4097 <= 600_000
+    assert 0 < _pick_chunk(197) < 197          # small n: a valid chunk
 
 
 def test_chunked_iter_topk_matches_lax_topk(monkeypatch):
