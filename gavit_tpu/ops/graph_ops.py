@@ -316,8 +316,11 @@ def _pick_chunk(n: int) -> int:
         return int(env)
     if n <= 64:
         return n
-    cands = [c for c in (512, 384, 256, 128)
-             if c < n and c * n <= _CHUNK_ELEMS] or [64]
+    cands = [c for c in (512, 384, 256, 128) if c < n and c * n <= _CHUNK_ELEMS]
+    if not cands:
+        # 2048px-class N: even 128 exceeds the cap — shrink until the
+        # slice fits (8-row granularity; r5 review finding #5)
+        return max(8, _CHUNK_ELEMS // n // 8 * 8)
     return min(cands, key=lambda c: (-(-n // c) * c, -c))
 
 

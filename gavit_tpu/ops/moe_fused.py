@@ -53,7 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gavit_tpu.ops.dropout import _gelu_and_grad_f32, _gelu_f32
-from gavit_tpu.ops.mlp import _fchunks, _mask, _prec
+from gavit_tpu.ops.mlp import _fchunks, _gelu_tanh_f32, _mask, _prec
 
 
 def _round_up(n: int, t: int) -> int:
@@ -137,7 +137,7 @@ def _fwd_kernel(tg_ref, seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         h1 = h1.astype(h1_ref.dtype)       # round BEFORE the GELU so the
         h1_ref[:, sl] = h1                 # backward recompute agrees
         g = (_gelu_f32(h1.astype(jnp.float32)) if not approx
-             else _gelu_tanh(h1.astype(jnp.float32)))
+             else _gelu_tanh_f32(h1.astype(jnp.float32)))
         if rate > 0.0:
             keep = _mask(g.shape, rate)
             g = jnp.where(keep, g * (1.0 / (1.0 - rate)), 0.0)
@@ -150,15 +150,23 @@ def _fwd_kernel(tg_ref, seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     y_ref[...] = y.astype(y_ref.dtype)
 
 
-def _gelu_tanh(x):
+def _gelu_tanh_and_grad_f32(x):
+    """tanh-GELU value AND derivative from one tanh evaluation:
+    g = 0.5·x·(1+tanh u), u = c·(x + a·x³);
+    g' = 0.5·(1+tanh u) + 0.5·x·(1−tanh²u)·c·(1+3a·x²)."""
     c = 0.7978845608028654  # sqrt(2/pi)
-    u = c * (x + 0.044715 * x * x * x)
-    return 0.5 * x * (1.0 + jnp.tanh(u))
+    a = 0.044715
+    u = c * (x + a * x * x * x)
+    th = jnp.tanh(u)
+    g = 0.5 * x * (1.0 + th)
+    dg = 0.5 * (1.0 + th) + 0.5 * x * (1.0 - th * th) * c * (
+        1.0 + 3.0 * a * x * x)
+    return g, dg
 
 
 def _bwd_kernel(tg_ref, seed_ref, dy_ref, h1_ref, w1_ref, w2_ref,
                 dx_ref, go_ref, dh1_ref, db1_ref, db2_ref, dye_ref=None, *,
-                rate: float, out_rate: float):
+                rate: float, out_rate: float, approx: bool = False):
     prec = _prec(dy_ref.dtype)
     i = pl.program_id(0)
     f = h1_ref.shape[1]
@@ -185,7 +193,10 @@ def _bwd_kernel(tg_ref, seed_ref, dy_ref, h1_ref, w1_ref, w2_ref,
     for j in range(nchunks):
         sl = slice(j * fc, (j + 1) * fc)
         h1 = h1_ref[:, sl].astype(jnp.float32)
-        g, dg = _gelu_and_grad_f32(h1)
+        # the SAME activation form as the forward — an erf-gradient for a
+        # tanh forward would silently return wrong grads (r5 review #6)
+        g, dg = (_gelu_tanh_and_grad_f32(h1) if approx
+                 else _gelu_and_grad_f32(h1))
         if rate > 0.0:
             keep = _mask(g.shape, rate)
             scale = 1.0 / (1.0 - rate)
@@ -274,7 +285,7 @@ def _run_fwd(x_sorted, w1, b1, w2, b2, tile_group, seed, *, rate, out_rate,
 
 
 def _run_bwd(dy_sorted, h1, w1, w2, tile_group, seed, *, rate, out_rate,
-             tm, interpret):
+             approx, tm, interpret):
     cap, d = dy_sorted.shape
     e, _, f = w1.shape
     it = dy_sorted.dtype.itemsize
@@ -296,7 +307,8 @@ def _run_bwd(dy_sorted, h1, w1, w2, tile_group, seed, *, rate, out_rate,
         out_specs.append(_row_spec(tm, d))
         out_shape.append(jax.ShapeDtypeStruct((cap, d), dy_sorted.dtype))
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, rate=rate, out_rate=out_rate),
+        functools.partial(_bwd_kernel, rate=rate, out_rate=out_rate,
+                          approx=approx),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(cap // tm,),
@@ -390,7 +402,8 @@ def _fused_bwd(rate, out_rate, approx, tm, interpret, res, gy):
     dy = gy.astype(x_sorted.dtype)
     dx, go, dh1, db1, db2, dye = _run_bwd(
         dy, h1, w1, w2, tile_group, seed,
-        rate=rate, out_rate=out_rate, tm=tm, interpret=interpret)
+        rate=rate, out_rate=out_rate, approx=approx, tm=tm,
+        interpret=interpret)
     cap, d = x_sorted.shape
     f = w1.shape[2]
     # dW via grouped transposed matmuls; pad rows carry zero dy/dh1 so they
@@ -483,7 +496,7 @@ def grouped_moe_mlp_ep_fused(x, gate_vals, gate_idx, w1, b1, w2, b2, key, *,
     g, s, d = x.shape
     e_loc = w1.shape[0]
     k = gate_idx.shape[-1]
-    tm = fused_tm(g * s * k)
+    tm = fused_tm(g * s * k, e_loc)
     dest, src, used, tile_group, group_sizes = group_local_experts_tiled(
         gate_idx, first, e_loc, cap_per_expert, tm)
     cap_pad = int(used.shape[0])
@@ -542,7 +555,7 @@ def grouped_moe_mlp_fused(x, gate_vals, gate_idx, w1, b1, w2, b2, key, *,
     e = w1.shape[0]
     k = gate_idx.shape[-1]
     t = g * s * k
-    tm = fused_tm(t)
+    tm = fused_tm(t, e)
     dest, src, used, tile_group, group_sizes = group_by_expert_tiled(
         gate_idx, e, tm)
     x_sorted = _dispatch_rows(x.reshape(g * s, d), src // k, dest, k, False)
@@ -556,20 +569,35 @@ def grouped_moe_mlp_fused(x, gate_vals, gate_idx, w1, b1, w2, b2, key, *,
     return out.astype(x.dtype)
 
 
-def fused_tm(t: int) -> int:
-    """Row tile: 256 measured-class default (the r4 gmm tile probe's
-    sweet spot for ViT-B shapes), shrunk for tiny inputs so tests and
-    small configs keep multiple tiles in play."""
+def fused_tm(t: int, e: int = 8) -> int:
+    """Row tile scaled to the token count: 256 at measured flagship-class
+    T (the r4 gmm tile probe's sweet spot), smaller when E·tm padding
+    would dominate — the tiled grouping books up to ~E·tm pad rows, so tm
+    is capped at ~T/(8·E) (≤ ~12.5% pad FLOPs; r5 review finding #4).
+    Tiny inputs (tests) drop to 8-row tiles."""
     env = os.environ.get("GAVIT_MOE_FUSED_TM")
     if env:
         return int(env)
-    return 256 if t >= 2048 else 8
+    if t < 2048:
+        return 8
+    for tm in (256, 128, 64, 32, 16):
+        if e * tm * 8 <= t:
+            return tm
+    return 8
 
 
 def use_fused(drop_rate: float, deterministic: bool, dtype) -> bool:
     """Fused path gate: TPU only (CPU tests call with interpret=True
-    explicitly), both dtypes, env kill-switch GAVIT_MOE_FUSED=0."""
+    explicitly), both dtypes, env kill-switch GAVIT_MOE_FUSED=0. Also
+    false when the grouped matmul backend is overridden away from
+    megablox (GAVIT_MOE_MATMUL=ragged_dot) — the fused kernel only rides
+    the megablox path, and `moe.impl: auto` keys its no-crossover policy
+    on this gate (r5 review finding #3)."""
     del drop_rate, deterministic, dtype
     if os.environ.get("GAVIT_MOE_FUSED", "1") == "0":
+        return False
+    from gavit_tpu.ops.moe_grouped import resolve_matmul_impl
+
+    if resolve_matmul_impl("auto") != "megablox":
         return False
     return jax.default_backend() == "tpu"

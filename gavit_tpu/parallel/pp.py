@@ -211,6 +211,13 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
         if sites else jnp.zeros((0,))
     )
     x = _embed(cfg, dtype, pre, images)          # [B, N, C], replicated
+    if not deterministic and cfg.drop_rate > 0.0:
+        # the sequential model applies dropout on the embedded tokens
+        # (models/vit.py:91) — mirror it here, outside the pipelined
+        # region (r5 review finding #1)
+        keep = jax.random.bernoulli(
+            jax.random.fold_in(rng, 10 ** 6), 1.0 - cfg.drop_rate, x.shape)
+        x = jnp.where(keep, x / (1.0 - cfg.drop_rate), 0.0).astype(dtype)
     mbs = x.reshape(M, b // M, *x.shape[1:])     # [M, mb, N, C]
     L = cfg.depth // S
     site_arr = jnp.asarray(sites, jnp.int32) if sites else None
@@ -225,11 +232,16 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
                 if deterministic:
                     k_blk = k_gph = None
                 else:
-                    # independent masks per (layer, tick): the microbatch
-                    # flowing through this stage at tick t is t - s, so
-                    # (layer, t) uniquely keys every (block, microbatch)
+                    # independent masks per (layer, tick, dp shard): the
+                    # microbatch at this stage at tick t is t - s, so
+                    # (layer, t) keys every (block, microbatch); the
+                    # 'data' fold keeps different examples on different
+                    # dp shards from sharing masks (r5 review finding #2)
                     k_blk = jax.random.fold_in(
                         jax.random.fold_in(rng, layer), t)
+                    if "data" in mesh.shape and mesh.shape["data"] > 1:
+                        k_blk = jax.random.fold_in(
+                            k_blk, lax.axis_index("data"))
                     k_gph = jax.random.fold_in(k_blk, cfg.depth + 1)
                 x = _block_apply(cfg, dtype, p, x, deterministic, k_blk)
                 if sites:

@@ -209,3 +209,26 @@ def test_fused_ep_matches_unfused_ep_including_drops():
     np.testing.assert_allclose(float(l_f), float(l_r), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_tanh_gelu_gradients_match_unfused():
+    """approx_gelu=True backward uses the TANH derivative (r5 review #6 —
+    an erf-gradient for a tanh forward would be silently wrong): grads
+    match the unfused engine's autodiff through the tanh GELU."""
+    x, gv, gi, weights = _toy(seed=5)
+    key = jax.random.PRNGKey(0)
+
+    def loss_ref(w):
+        out = grouped_moe_mlp(x, gv, gi, *w, key, matmul_impl="ragged_dot",
+                              approx_gelu=True)
+        return jnp.sum(out ** 2)
+
+    def loss_fused(w):
+        out = grouped_moe_mlp_fused(x, gv, gi, *w, key, approx_gelu=True,
+                                    interpret=True)
+        return jnp.sum(out ** 2)
+
+    g_ref = jax.grad(loss_ref)(weights)
+    g_f = jax.grad(loss_fused)(weights)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
