@@ -185,3 +185,29 @@ def test_export_bf16_leaves_roundtrip(tmp_path):
     np.testing.assert_allclose(
         loaded.predict_proba(imgs), bf16_pred.predict_proba(imgs),
         atol=1e-6)
+
+
+def test_export_moe_model_roundtrip(tmp_path):
+    """A Mixture-of-Experts model exports and replays: the StableHLO
+    artifact reproduces the live Predictor on the MoE forward (dense and
+    grouped engines both serialize — the r5 fused/grouped paths are
+    TPU-gated, so the exported CPU program takes the portable engine; on
+    TPU the same export captures the pallas path as custom calls)."""
+    import jax
+
+    moe_cfg = {
+        "model": {**CFG["model"],
+                  "moe": {"enabled": True, "num_experts": 4, "k": 2,
+                          "every": 2, "impl": "grouped"}},
+        "data": {"image_size": 16},
+    }
+    cfg = from_dict(moe_cfg)
+    pred = Predictor(cfg, None, precision="fp32", buckets=(2,))
+    params = jax.device_get(pred.params)
+    export_serving(cfg, str(tmp_path / "art"), params=params,
+                   precision="fp32", buckets=(2,))
+    loaded = ExportedPredictor(str(tmp_path / "art"))
+    imgs = np.random.default_rng(0).integers(0, 255, (2, 16, 16, 3),
+                                             np.uint8)
+    np.testing.assert_allclose(
+        loaded.predict_proba(imgs), pred.predict_proba(imgs), atol=1e-6)
