@@ -257,8 +257,16 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
                                  lambda x: x, x)
                 return x, None
 
+            import os
+
+            # unrolling the layer scan lets XLA fuse/pipeline across
+            # blocks like the sequential model (the scanned form measured
+            # a large machinery tax on TPU — BASELINE.md pp-overhead row);
+            # compile time grows ~L-fold, so it is a dial
+            unroll = int(os.environ.get("GAVIT_PP_UNROLL", "1"))
             x, _ = lax.scan(step, x,
-                            (trunk_local, jnp.arange(L, dtype=jnp.int32)))
+                            (trunk_local, jnp.arange(L, dtype=jnp.int32)),
+                            unroll=max(1, unroll) if unroll > 0 else 1)
             return x
 
         zero = jnp.zeros_like(mbs[0])
