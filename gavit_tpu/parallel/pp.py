@@ -260,13 +260,14 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
             import os
 
             # unrolling the layer scan lets XLA fuse/pipeline across
-            # blocks like the sequential model (the scanned form measured
-            # a large machinery tax on TPU — BASELINE.md pp-overhead row);
-            # compile time grows ~L-fold, so it is a dial
-            unroll = int(os.environ.get("GAVIT_PP_UNROLL", "1"))
+            # blocks like the sequential model — measured 161.4 → 116.1 ms
+            # fwd+bwd at pp1/ViT-B b32 (BASELINE.md pp-overhead row).
+            # Default FULL unroll (0); compile time grows ~L-fold, so a
+            # positive GAVIT_PP_UNROLL caps it for deep stages
+            u = int(os.environ.get("GAVIT_PP_UNROLL", "0"))
             x, _ = lax.scan(step, x,
                             (trunk_local, jnp.arange(L, dtype=jnp.int32)),
-                            unroll=max(1, unroll) if unroll > 0 else 1)
+                            unroll=L if u <= 0 else min(u, L))
             return x
 
         zero = jnp.zeros_like(mbs[0])

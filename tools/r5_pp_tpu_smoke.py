@@ -134,12 +134,13 @@ def timing_main():
         (b, img, img, 3)), jnp.float32)
     key = jax.random.key(1)
     reps = 20 if on_tpu else 2
+    m = int(os.environ.get("PP_TIMING_M", "4"))
 
     @jax.jit
     def pipe_g(p, x, key):
         def loss(p):
             return jnp.mean(pipeline_apply(
-                mesh, cfg.model, p, x, num_microbatches=4, dtype=dtype,
+                mesh, cfg.model, p, x, num_microbatches=m, dtype=dtype,
                 deterministic=False, rng=key) ** 2)
 
         return jax.grad(loss)(p)
@@ -153,7 +154,7 @@ def timing_main():
 
         return jax.grad(loss)(p)
 
-    for name, fn in (("sequential", seq_g), ("pp1-M4", pipe_g)):
+    for name, fn in (("sequential", seq_g), (f"pp1-M{m}", pipe_g)):
         g = fn(params, x, key)
         _ = float(jnp.sum(jax.tree.leaves(g)[0].astype(jnp.float32)))
         t0 = time.perf_counter()
