@@ -134,6 +134,48 @@ def dropout_selfcheck(rate: float = 0.1):
     log("fused-MLP kernel selfcheck OK (fwd + 5 grads vs extracted masks)")
 
 
+def moe_selfcheck():
+    """Fused grouped-MoE megakernel (ops/moe_fused.py) vs the unfused
+    ragged_dot engine ON HARDWARE: deterministic forward + all weight/token
+    gradients at bf16 tolerance — the r5 kernel family's correctness gate
+    in every bench run (the CPU suite can only interpret it)."""
+    from gavit_tpu.models.moe import router_topk
+    from gavit_tpu.ops.moe_grouped import grouped_moe_mlp
+
+    g, s, d, f, e, k = 2, 512, 256, 1024, 4, 2
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((g, s, d)) * 0.5, jnp.bfloat16)
+    logits = jnp.asarray(rng.standard_normal((g, s, e)), jnp.float32)
+    gv, gi, _ = router_topk(logits, k)
+    w1 = jnp.asarray(rng.standard_normal((e, d, f)) * 0.03, jnp.bfloat16)
+    b1 = jnp.asarray(rng.standard_normal((e, f)) * 0.01, jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((e, f, d)) * 0.03, jnp.bfloat16)
+    b2 = jnp.asarray(rng.standard_normal((e, d)) * 0.01, jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+
+    def rel_err(a, b):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        return np.abs(a - b).max() / max(np.abs(b).max(), 1e-6)
+
+    def run(impl):
+        def loss(x, w1, b1, w2, b2):
+            out = grouped_moe_mlp(x, gv, gi, w1, b1, w2, b2, key,
+                                  matmul_impl=impl)
+            return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+        (l, out), grads = jax.jit(jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3, 4), has_aux=True))(x, w1, b1, w2, b2)
+        return out, grads
+
+    # megablox impl on TPU routes through the fused megakernel (use_fused)
+    out_f, g_f = run("megablox")
+    out_r, g_r = run("ragged_dot")
+    assert rel_err(out_f, out_r) < 2e-2, "fused MoE forward diverged"
+    for a, b, name in zip(g_f, g_r, ("x", "w1", "b1", "w2", "b2")):
+        assert rel_err(a, b) < 3e-2, f"fused MoE grad {name} mismatch"
+    log("fused-MoE megakernel selfcheck OK (fwd + 5 grads vs ragged_dot)")
+
+
 def main():
     import gavit_tpu
 
@@ -170,6 +212,7 @@ def main():
 
     if on_tpu:
         dropout_selfcheck()
+        moe_selfcheck()
 
     mesh = make_mesh(cfg.mesh)
     model = build_model(cfg.model, precision=cfg.training.precision)
