@@ -174,11 +174,10 @@ class MoEConfig:
     #              no dispatch/combine one-hot GEMMs; EP runs local-expert
     #              grouping + one psum (no all-to-all).
     #  'auto'    — measured policy (models/moe.py::resolve_moe_impl):
-    #              grouped whenever the r5 fused megakernel is available
-    #              (it beats dense at every measured batch —
-    #              BASELINE.md r5 row); otherwise the r4 crossover:
-    #              grouped at ≥ GROUPED_MIN_PAIRS routed pairs per device,
-    #              dense below. Resolved per traced shape, logged.
+    #              tokens/step crossover, resolved per traced shape and
+    #              logged — FUSED_MIN_PAIRS (b16/b64 bracket) when the r5
+    #              fused megakernel is live, GROUPED_MIN_PAIRS (b64/b128)
+    #              otherwise. BASELINE.md r5 rows.
     impl: str = "dense"
     # per-expert buffer = ceil(k · tokens · capacity_factor / num_experts);
     # overflow tokens pass through the residual unchanged ('dense' impl

@@ -55,12 +55,14 @@ trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 # pairs/device: 261.8 vs 283.8 ms), dense below (b64, T = 25216).
 # Threshold = the midpoint of the measured bracket; override for probes
 # via GAVIT_MOE_AUTO_PAIRS. With the r5 FUSED megakernel available
-# (ops/moe_fused.py — TPU, not kill-switched) the crossover disappears:
-# fused grouped beats dense at every measured point (b64 train 112.0 vs
-# 130.5 ms, b128 211.5 vs 283.6, infer 29.0 vs 28.8 ≈ tie —
-# logs/r5_moe_fused.log), so 'auto' resolves grouped unconditionally
-# there.
+# (ops/moe_fused.py — TPU, not kill-switched) the crossover MOVES DOWN
+# rather than disappearing: fused grouped beats dense at b64/b128 (112.0
+# vs 130.5 ms, 211.5 vs 283.6 — logs/r5_moe_fused.log) but dense still
+# wins at b16-class steps (42.5 vs 46.1, logs/r5_moe_b16.log) where the
+# routing/grouping machinery outweighs the reclaimed slot padding.
+# FUSED_MIN_PAIRS = midpoint of the measured (b16, b64) bracket.
 GROUPED_MIN_PAIRS = 37824
+FUSED_MIN_PAIRS = 15760
 
 
 def _auto_threshold() -> int:
@@ -80,9 +82,10 @@ def resolve_moe_impl(impl: str, pairs: int) -> str:
       pairs: per-device routed (token, choice) pairs = (B/dp)·S·k for the
         shape being traced.
 
-    'auto' encodes the measured crossover (see ``GROUPED_MIN_PAIRS``): the
-    dropless grouped engine above the threshold, the static-capacity dense
-    engine below it. Resolution is per trace shape, so one config picks
+    'auto' encodes the measured crossover: the dropless grouped engine
+    above the threshold, the static-capacity dense engine below it —
+    ``FUSED_MIN_PAIRS`` when the fused megakernel is live (TPU),
+    ``GROUPED_MIN_PAIRS`` otherwise. Resolution is per trace shape, so one config picks
     grouped for the b128 train step and dense for a b64 serving batch.
     Caveat: a ragged eval tail batch can resolve to the other engine than
     the full batches (the engines differ in drop semantics at saturated
@@ -95,9 +98,13 @@ def resolve_moe_impl(impl: str, pairs: int) -> str:
     from gavit_tpu.ops.moe_fused import use_fused
 
     if use_fused(0.0, True, None):
-        # fused megakernel available: grouped wins (or ties) at every
-        # measured batch — no crossover to encode (r5)
-        choice = "grouped"
+        # fused megakernel available: the crossover moves down to
+        # b16/b64-class (FUSED_MIN_PAIRS), not away (r5, b16 probe)
+        import os
+
+        thresh = int(os.environ.get("GAVIT_MOE_AUTO_PAIRS",
+                                    FUSED_MIN_PAIRS))
+        choice = "grouped" if pairs >= thresh else "dense"
     else:
         choice = "grouped" if pairs >= _auto_threshold() else "dense"
     key = (pairs, choice)
