@@ -320,10 +320,17 @@ class FusedDropout(nn.Module):
         return fused_dropout(x, seed, self.rate)
 
 
-def drop_path(x, rate: float, deterministic: bool, rng) -> jax.Array:
+def drop_path(x, rate, deterministic: bool, rng) -> jax.Array:
     """Stochastic depth: drop entire residual branches per sample
-    (``vit.py:227-242``)."""
-    if deterministic or rate == 0.0:
+    (``vit.py:227-242``).
+
+    ``rate`` may be a Python float (sequential model — static per-layer
+    rates) or a traced scalar (the pipeline's stacked-layer scan threads
+    the per-layer rate as a scan operand, r5): ``bernoulli`` accepts a
+    traced probability, and rate 0 degenerates to the identity exactly
+    (keep=1 ⇒ the mask is all-True and x/1.0 is exact).
+    """
+    if deterministic or (isinstance(rate, (int, float)) and rate == 0.0):
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
@@ -471,11 +478,20 @@ class Block(nn.Module):
     moe: object = None
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, return_probs: bool = False):
+    def __call__(self, x, deterministic: bool = True, return_probs: bool = False,
+                 drop_path_override=None):
+        # drop_path_override: a TRACED per-layer stochastic-depth rate —
+        # the pipeline trunk (parallel/pp.py) shares one static Block
+        # configuration across its stacked-layer scan, so the linearly
+        # decaying rates ride the scan as an operand and land here
         def maybe_drop_path(y):
-            if self.drop_path_rate > 0.0 and not deterministic:
+            rate = (self.drop_path_rate if drop_path_override is None
+                    else drop_path_override)
+            engaged = (drop_path_override is not None
+                       or self.drop_path_rate > 0.0)
+            if engaged and not deterministic:
                 return drop_path(
-                    y, self.drop_path_rate, deterministic, self.make_rng("dropout")
+                    y, rate, deterministic, self.make_rng("dropout")
                 )
             return y
 

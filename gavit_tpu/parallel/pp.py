@@ -21,8 +21,10 @@ owning stage applies its site(s) inside the layer scan via ``lax.cond``.
 Static-adjacency graph configs stay on dp/tp (the adjacency computed at
 the first site is CACHED across later sites in the sequential model —
 that cache would have to ride the pipeline). MoE trunks stay on dp/EP
-(heterogeneous block stack); drop_path needs its per-layer static rates
-and stays 0 under pp. Since r5 pp is a CONFIG AXIS (``mesh.pipe``): the
+(heterogeneous block stack). drop_path works (r5): the per-layer
+linearly-decaying rates ride the stacked-layer scan as a traced operand
+(sharded like the trunk), so the shared Block config applies each layer's
+own rate. Since r5 pp is a CONFIG AXIS (``mesh.pipe``): the
 Trainer drives this module for train AND eval steps, blocks run with
 their DEFAULT (fused-kernel) impls — inside shard_map the partitioned op
 wrappers see no spanning mesh axes and execute shard-locally — and
@@ -116,7 +118,7 @@ def _head(cfg: ModelConfig, dtype, post, x):
 
 
 def _block_apply(cfg: ModelConfig, dtype, p, x, deterministic=True,
-                 rng=None):
+                 rng=None, dp_rate=None):
     from gavit_tpu.models.layers import Block
 
     # DEFAULT impls (r5, lifting the r3 'xla' pin): the stage body runs the
@@ -130,7 +132,12 @@ def _block_apply(cfg: ModelConfig, dtype, p, x, deterministic=True,
         attn_drop=cfg.attn_drop_rate,
     )
     rngs = None if deterministic else {"dropout": rng}
-    return blk.apply({"params": p}, x, deterministic, rngs=rngs)
+    # dp_rate: TRACED per-layer stochastic-depth rate (the stacked-layer
+    # scan shares one static Block config, so the linearly decaying rates
+    # ride the scan as an operand instead — models/layers.py::drop_path
+    # takes traced probabilities)
+    return blk.apply({"params": p}, x, deterministic, rngs=rngs,
+                     drop_path_override=dp_rate)
 
 
 def _graph_apply(cfg: ModelConfig, dtype, p, x, deterministic=True,
@@ -179,12 +186,6 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
         raise ValueError("pipeline trunk requires moe.enabled=False "
                          "(the stacked-layer scan needs a homogeneous "
                          "block stack; MoE scales via dp/EP)")
-    if not deterministic and cfg.drop_path_rate > 0.0:
-        raise ValueError(
-            "pipeline training requires drop_path_rate=0: stochastic-depth "
-            "rates decay linearly PER LAYER (models/vit.py:100-102) but the "
-            "stacked-layer scan shares one static Block configuration "
-            "across its layers")
     if not deterministic and rng is None:
         raise ValueError("deterministic=False needs a dropout rng")
     S = mesh.shape["pipe"]
@@ -221,13 +222,21 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
     mbs = x.reshape(M, b // M, *x.shape[1:])     # [M, mb, N, C]
     L = cfg.depth // S
     site_arr = jnp.asarray(sites, jnp.int32) if sites else None
+    # per-layer stochastic-depth rates (linear decay, models/vit.py:100-102)
+    # stacked [depth] and sharded like the trunk — each stage scans its own
+    # [L] slice and threads the traced rate into the shared Block (r5:
+    # lifting the drop_path_rate=0 pp restriction)
+    use_dp = (not deterministic) and cfg.drop_path_rate > 0.0
+    dpr = jnp.asarray(
+        [cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
+         for i in range(cfg.depth)], jnp.float32)
 
-    def stage_body(trunk_local, graph_local, mbs, rng):
+    def stage_body(trunk_local, graph_local, dpr_local, mbs, rng):
         s = lax.axis_index("pipe")
 
         def run_blocks(x, t):
             def step(x, inp):
-                p, loc = inp
+                p, loc, dp_rate = inp
                 layer = s * L + loc
                 if deterministic:
                     k_blk = k_gph = None
@@ -243,7 +252,8 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
                         k_blk = jax.random.fold_in(
                             k_blk, lax.axis_index("data"))
                     k_gph = jax.random.fold_in(k_blk, cfg.depth + 1)
-                x = _block_apply(cfg, dtype, p, x, deterministic, k_blk)
+                x = _block_apply(cfg, dtype, p, x, deterministic, k_blk,
+                                 dp_rate=dp_rate if use_dp else None)
                 if sites:
                     match = site_arr == layer           # [G]
 
@@ -266,7 +276,8 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
             # positive GAVIT_PP_UNROLL caps it for deep stages
             u = int(os.environ.get("GAVIT_PP_UNROLL", "0"))
             x, _ = lax.scan(step, x,
-                            (trunk_local, jnp.arange(L, dtype=jnp.int32)),
+                            (trunk_local, jnp.arange(L, dtype=jnp.int32),
+                             dpr_local),
                             unroll=L if u <= 0 else min(u, L))
             return x
 
@@ -290,9 +301,10 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
     rng_in = rng if rng is not None else jax.random.key(0)
     outs = jax.shard_map(
         stage_body, mesh=mesh,
-        in_specs=(P("pipe"), P(), data_in, P()), out_specs=data_in,
+        in_specs=(P("pipe"), P(), P("pipe"), data_in, P()),
+        out_specs=data_in,
         check_vma=False,
-    )(trunk, graph_stack, mbs, rng_in)
+    )(trunk, graph_stack, dpr, mbs, rng_in)
     tokens = outs.reshape(b, *outs.shape[2:])
     return _head(cfg, dtype, post, tokens)
 

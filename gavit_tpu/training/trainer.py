@@ -119,10 +119,6 @@ class Trainer:
                     "mesh.pipe > 1 supports graph.dynamic=true only (the "
                     "static adjacency cache cannot ride the pipeline — "
                     "parallel/pp.py)")
-            if m.drop_path_rate > 0.0:
-                raise ValueError("mesh.pipe > 1 requires drop_path_rate=0 "
-                                 "(per-layer stochastic-depth rates don't "
-                                 "fit the stacked-layer scan)")
             if config.training.qat:
                 raise ValueError("mesh.pipe > 1 does not compose with "
                                  "training.qat")

@@ -190,7 +190,8 @@ def test_pipeline_graph_trunk_composes_with_data_axis():
 # ---------------------------------------------------------------------------
 
 
-def _pipe_trainer(tmp_path, mesh_cfg, *, drop=0.0, graph=True, seed=0):
+def _pipe_trainer(tmp_path, mesh_cfg, *, drop=0.0, drop_path=0.0,
+                  graph=True, seed=0):
     from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
     from gavit_tpu.training import Trainer
 
@@ -198,6 +199,7 @@ def _pipe_trainer(tmp_path, mesh_cfg, *, drop=0.0, graph=True, seed=0):
         "model": {"name": "custom", "img_size": 16, "patch_size": 8,
                   "embed_dim": 32, "depth": 4, "num_heads": 2,
                   "num_classes": 14, "drop_rate": drop,
+                  "drop_path_rate": drop_path,
                   "graph": {"enabled": graph, "num_blocks": 1,
                             "adjacency": "knn", "k": 2, "dynamic": True}},
         "data": {"batch_size": 8, "image_size": 16},
@@ -264,6 +266,99 @@ def test_pipe_trainer_dropout_and_eval(tmp_path):
     probs, loss_vec = tr._eval_step(state.params, *batch)
     assert np.isfinite(np.asarray(loss_vec)).all()
     assert probs.shape == (8, 14)
+
+
+def test_drop_path_traced_rate_matches_static():
+    """``drop_path`` with a TRACED rate (the pp layer scan's per-layer
+    operand) draws the identical mask as the static-float form, and a
+    traced rate of 0 is the exact identity."""
+    from gavit_tpu.models.layers import drop_path
+
+    x = jax.random.normal(jax.random.key(0), (16, 5, 8), jnp.float32)
+    key = jax.random.key(7)
+    ref = drop_path(x, 0.3, False, key)
+    traced = jax.jit(lambda r: drop_path(x, r, False, key))(
+        jnp.float32(0.3))
+    np.testing.assert_array_equal(np.asarray(traced), np.asarray(ref))
+    ident = jax.jit(lambda r: drop_path(x, r, False, key))(jnp.float32(0.0))
+    np.testing.assert_array_equal(np.asarray(ident), np.asarray(x))
+
+
+def test_pipeline_drop_path_stream_pinned():
+    """r5 (lifting the drop_path pp restriction): at pipe=1 / M=1 the
+    pipelined training forward with drop_path_rate>0 must equal a manual
+    sequential application where layer i's Block gets ITS OWN linearly
+    decayed rate and the (layer, tick) dropout key — pinning both that
+    the stacked rates land on the right layers and the key schedule."""
+    from gavit_tpu.models.layers import Block
+    from gavit_tpu.parallel.pp import pipeline_apply
+
+    import dataclasses
+
+    cfg, model, params, images = _setup()  # depth=4, drop_rate=0
+    cfg = dataclasses.replace(cfg, drop_path_rate=0.8)
+    rng = jax.random.key(3)
+    mesh = make_pipe_mesh(1)
+    out = jax.jit(lambda p, x: pipeline_apply(
+        mesh, cfg, p, x, num_microbatches=1, deterministic=False,
+        rng=rng))(params, images)
+
+    # manual reference: embed -> per-layer Block with drop_path_override
+    from gavit_tpu.parallel.pp import _embed, _head
+    pre = {k: params[k] for k in ("patch_embed", "cls_token", "pos_embed")}
+    post = {k: params[k] for k in ("norm", "head")}
+    x = _embed(cfg, jnp.float32, pre, images)
+    dpr = [cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
+           for i in range(cfg.depth)]
+    for i in range(cfg.depth):
+        blk = Block(dim=cfg.embed_dim, num_heads=cfg.num_heads,
+                    mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
+                    dtype=jnp.float32, drop=cfg.drop_rate,
+                    attn_drop=cfg.attn_drop_rate)
+        # S=1, M=1: every layer runs at tick 0, so the pp key for layer i
+        # is fold_in(fold_in(rng, layer=i), t=0) (no 'data' fold at dp=1)
+        k_blk = jax.random.fold_in(jax.random.fold_in(rng, i), 0)
+        x = blk.apply({"params": params[f"blocks_{i}"]}, x, False,
+                      rngs={"dropout": k_blk},
+                      drop_path_override=jnp.float32(dpr[i]))
+    ref = _head(cfg, jnp.float32, post, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # and the masks genuinely fire: a different rng gives different logits
+    out2 = jax.jit(lambda p, x: pipeline_apply(
+        mesh, cfg, p, x, num_microbatches=1, deterministic=False,
+        rng=jax.random.key(4)))(params, images)
+    assert np.abs(np.asarray(out2) - np.asarray(out)).max() > 1e-4
+
+
+def test_pipe_trainer_drop_path(tmp_path):
+    """Training with stochastic depth under mesh.pipe (restriction lifted
+    in r5): loss finite, params move, and the deterministic eval step —
+    where drop_path is a no-op — still matches the sequential trainer's
+    eval exactly."""
+    from gavit_tpu.parallel.mesh import shard_batch
+
+    images = jnp.asarray(np.random.RandomState(1).rand(8, 16, 16, 3),
+                         jnp.float32)
+    labels = jnp.asarray((np.random.RandomState(2).rand(8, 14) < 0.3),
+                         jnp.float32)
+    tr = _pipe_trainer(tmp_path / "pp", {"pipe": 2, "data": 2},
+                       drop_path=0.5)
+    batch = shard_batch(tr.mesh, (images, labels))
+    before = np.asarray(tr.state.params["model"]["head"]["kernel"]).copy()
+    # eval first: the train step donates the state's buffers
+    probs, _ = tr._eval_step(tr.state.params, *batch)
+    seq = _pipe_trainer(tmp_path / "seq", {"data": 1, "model": 1},
+                        drop_path=0.5)
+    probs_seq, _ = seq._eval_step(
+        seq.state.params, *shard_batch(seq.mesh, (images, labels)))
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(probs_seq),
+                               atol=1e-5)
+    state, metrics, _ = tr._train_step(tr.state, tr.base_rng, *batch)
+    # two steps: the first optimizer update runs at warmup multiplier 0
+    state, metrics, _ = tr._train_step(state, tr.base_rng, *batch)
+    assert np.isfinite(float(metrics["loss"]))
+    after = np.asarray(state.params["model"]["head"]["kernel"])
+    assert np.abs(after - before).max() > 0
 
 
 def test_pipe_config_validations(tmp_path):
