@@ -91,12 +91,17 @@ def merge_params(pre, trunk, post, depth: int) -> dict:
     return out
 
 
-def _embed(cfg: ModelConfig, dtype, pre, images):
+def _vars(params, q):
+    return {"params": params} if q is None else {"params": params, "quant": q}
+
+
+def _embed(cfg: ModelConfig, dtype, pre, images, q=None):
     from gavit_tpu.models.layers import PatchEmbed
 
     x = PatchEmbed(
         patch_size=cfg.patch_size, embed_dim=cfg.embed_dim, dtype=dtype,
-    ).apply({"params": pre["patch_embed"]}, images.astype(dtype))
+        quant="qat" if q is not None else False,
+    ).apply(_vars(pre["patch_embed"], q), images.astype(dtype))
     b = images.shape[0]
     cls = jnp.broadcast_to(
         pre["cls_token"].astype(dtype), (b, 1, cfg.embed_dim)
@@ -105,20 +110,21 @@ def _embed(cfg: ModelConfig, dtype, pre, images):
     return x + pre["pos_embed"].astype(dtype)
 
 
-def _head(cfg: ModelConfig, dtype, post, x):
+def _head(cfg: ModelConfig, dtype, post, x, q=None):
     from gavit_tpu.models.layers import LN_EPS, QDense
 
     x = nn.LayerNorm(epsilon=LN_EPS, dtype=dtype).apply(
         {"params": post["norm"]}, x
     )
-    logits = QDense(cfg.num_classes, dtype=dtype).apply(
-        {"params": post["head"]}, x[:, 0].astype(dtype)
-    )
+    logits = QDense(
+        cfg.num_classes, dtype=dtype,
+        quant="qat" if q is not None else False,
+    ).apply(_vars(post["head"], q), x[:, 0].astype(dtype))
     return logits.astype(jnp.float32)
 
 
 def _block_apply(cfg: ModelConfig, dtype, p, x, deterministic=True,
-                 rng=None, dp_rate=None):
+                 rng=None, dp_rate=None, q=None):
     from gavit_tpu.models.layers import Block
 
     # DEFAULT impls (r5, lifting the r3 'xla' pin): the stage body runs the
@@ -130,33 +136,35 @@ def _block_apply(cfg: ModelConfig, dtype, p, x, deterministic=True,
         dim=cfg.embed_dim, num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
         qkv_bias=cfg.qkv_bias, dtype=dtype, drop=cfg.drop_rate,
         attn_drop=cfg.attn_drop_rate,
+        quant="qat" if q is not None else False,
     )
     rngs = None if deterministic else {"dropout": rng}
     # dp_rate: TRACED per-layer stochastic-depth rate (the stacked-layer
     # scan shares one static Block config, so the linearly decaying rates
     # ride the scan as an operand instead — models/layers.py::drop_path
     # takes traced probabilities)
-    return blk.apply({"params": p}, x, deterministic, rngs=rngs,
+    return blk.apply(_vars(p, q), x, deterministic, rngs=rngs,
                      drop_path_override=dp_rate)
 
 
 def _graph_apply(cfg: ModelConfig, dtype, p, x, deterministic=True,
-                 rng=None):
+                 rng=None, q=None):
     from gavit_tpu.models.graph import GraphBlock
 
     gb = GraphBlock(
         dim=cfg.embed_dim, cfg=cfg.graph, num_patches=x.shape[1] - 1,
         drop=cfg.drop_rate, dtype=dtype,
+        quant="qat" if q is not None else False,
     )
     rngs = None if deterministic else {"dropout": rng}
-    y, _ = gb.apply({"params": p}, x, adj=None, deterministic=deterministic,
+    y, _ = gb.apply(_vars(p, q), x, adj=None, deterministic=deterministic,
                     rngs=rngs)
     return y
 
 
 def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
                    num_microbatches: int, dtype=jnp.float32,
-                   deterministic: bool = True, rng=None):
+                   deterministic: bool = True, rng=None, quant=None):
     """Forward pass with the trunk pipelined over mesh axis 'pipe'.
 
     ``params`` is the plain VisionTransformer tree (graph_j keys included
@@ -173,6 +181,13 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
     STREAM differs from the sequential model's (a different valid dropout,
     same rates) — exact-trajectory parity vs sequential holds at
     drop_rate 0 (``tests/test_pipeline.py``).
+
+    ``quant`` (late r5): the pruned act-scale collection from
+    :func:`gavit_tpu.serving.calibrate_act_scales` (the tree the QAT
+    Trainer carries) — every module then runs its ``quant='qat'``
+    fake-quantised GEMMs against the same static scales as the sequential
+    model. Per-block scale subtrees are stacked and sharded like the
+    trunk; graph-site subtrees replicate like the graph params.
     """
     if cfg.graph.enabled and not cfg.graph.dynamic:
         raise ValueError(
@@ -211,7 +226,22 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
                      *[params[f"graph_{j}"] for j in range(len(sites))])
         if sites else jnp.zeros((0,))
     )
-    x = _embed(cfg, dtype, pre, images)          # [B, N, C], replicated
+    # QAT: stack the per-block act-scale subtrees like the trunk (scalars,
+    # so the stacked tree is [depth]-leaved) and the graph ones like the
+    # graph params; embed/head subtrees stay outside the pipelined region
+    use_q = quant is not None
+    q_trunk = (
+        jax.tree.map(lambda *ls: jnp.stack(ls),
+                     *[quant[f"blocks_{i}"] for i in range(cfg.depth)])
+        if use_q else jnp.zeros((0,))
+    )
+    q_graph = (
+        jax.tree.map(lambda *ls: jnp.stack(ls),
+                     *[quant[f"graph_{j}"] for j in range(len(sites))])
+        if use_q and sites else jnp.zeros((0,))
+    )
+    x = _embed(cfg, dtype, pre, images,
+               q=quant.get("patch_embed") if use_q else None)
     if not deterministic and cfg.drop_rate > 0.0:
         # the sequential model applies dropout on the embedded tokens
         # (models/vit.py:91) — mirror it here, outside the pipelined
@@ -231,12 +261,17 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
         [cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
          for i in range(cfg.depth)], jnp.float32)
 
-    def stage_body(trunk_local, graph_local, dpr_local, mbs, rng):
+    def stage_body(trunk_local, graph_local, dpr_local, q_trunk_local,
+                   q_graph_local, mbs, rng):
         s = lax.axis_index("pipe")
 
         def run_blocks(x, t):
             def step(x, inp):
-                p, loc, dp_rate = inp
+                if use_q:
+                    p, loc, dp_rate, qb = inp
+                else:
+                    p, loc, dp_rate = inp
+                    qb = None
                 layer = s * L + loc
                 if deterministic:
                     k_blk = k_gph = None
@@ -253,15 +288,18 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
                             k_blk, lax.axis_index("data"))
                     k_gph = jax.random.fold_in(k_blk, cfg.depth + 1)
                 x = _block_apply(cfg, dtype, p, x, deterministic, k_blk,
-                                 dp_rate=dp_rate if use_dp else None)
+                                 dp_rate=dp_rate if use_dp else None, q=qb)
                 if sites:
                     match = site_arr == layer           # [G]
 
                     def apply_graph(x):
                         gp = jax.tree.map(
                             lambda a: a[jnp.argmax(match)], graph_local)
+                        gq = (jax.tree.map(
+                            lambda a: a[jnp.argmax(match)], q_graph_local)
+                            if use_q else None)
                         return _graph_apply(cfg, dtype, gp, x,
-                                            deterministic, k_gph)
+                                            deterministic, k_gph, q=gq)
 
                     x = lax.cond(jnp.any(match), apply_graph,
                                  lambda x: x, x)
@@ -275,9 +313,10 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
             # Default FULL unroll (0); compile time grows ~L-fold, so a
             # positive GAVIT_PP_UNROLL caps it for deep stages
             u = int(os.environ.get("GAVIT_PP_UNROLL", "0"))
-            x, _ = lax.scan(step, x,
-                            (trunk_local, jnp.arange(L, dtype=jnp.int32),
-                             dpr_local),
+            xs = (trunk_local, jnp.arange(L, dtype=jnp.int32), dpr_local)
+            if use_q:
+                xs = xs + (q_trunk_local,)
+            x, _ = lax.scan(step, x, xs,
                             unroll=L if u <= 0 else min(u, L))
             return x
 
@@ -301,12 +340,14 @@ def pipeline_apply(mesh: Mesh, cfg: ModelConfig, params, images,
     rng_in = rng if rng is not None else jax.random.key(0)
     outs = jax.shard_map(
         stage_body, mesh=mesh,
-        in_specs=(P("pipe"), P(), P("pipe"), data_in, P()),
+        in_specs=(P("pipe"), P(), P("pipe"),
+                  P("pipe") if use_q else P(), P(), data_in, P()),
         out_specs=data_in,
         check_vma=False,
-    )(trunk, graph_stack, dpr, mbs, rng_in)
+    )(trunk, graph_stack, dpr, q_trunk, q_graph, mbs, rng_in)
     tokens = outs.reshape(b, *outs.shape[2:])
-    return _head(cfg, dtype, post, tokens)
+    return _head(cfg, dtype, post, tokens,
+                 q=quant.get("head") if use_q else None)
 
 
 def pick_microbatches(batch: int, stages: int, data: int = 1,

@@ -119,9 +119,6 @@ class Trainer:
                     "mesh.pipe > 1 supports graph.dynamic=true only (the "
                     "static adjacency cache cannot ride the pipeline — "
                     "parallel/pp.py)")
-            if config.training.qat:
-                raise ValueError("mesh.pipe > 1 does not compose with "
-                                 "training.qat")
         if self.mesh.shape.get("model", 1) > 1:
             # All fused kernels stay in play under TP: the trainer traces
             # inside a jax.set_mesh context, so Attention pins a
@@ -314,7 +311,8 @@ class Trainer:
                     logits = pipeline_apply(
                         mesh, model_cfg, params["model"], xp,
                         pipe_mb(b_pad), dtype=pipe_dtype,
-                        deterministic=False, rng=k_drop)[:b]
+                        deterministic=False, rng=k_drop,
+                        quant=quant_vars.get("quant"))[:b]
                     aux = 0.0
                 elif moe_on:
                     # mutable collection so the MoE blocks' sown auxiliary
@@ -485,7 +483,8 @@ class Trainer:
                     xp = x
                 logits = pipeline_apply(
                     mesh, model_cfg, params["model"], xp,
-                    pipe_mb(b_pad), dtype=pipe_dtype)[:b]
+                    pipe_mb(b_pad), dtype=pipe_dtype,
+                    quant=quant_vars.get("quant"))[:b]
             else:
                 logits = model.apply(
                     {"params": params["model"], **quant_vars}, x,

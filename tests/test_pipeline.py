@@ -191,7 +191,7 @@ def test_pipeline_graph_trunk_composes_with_data_axis():
 
 
 def _pipe_trainer(tmp_path, mesh_cfg, *, drop=0.0, drop_path=0.0,
-                  graph=True, seed=0):
+                  graph=True, qat=False, seed=0):
     from gavit_tpu.data import DataLoader, SyntheticChestXrayDataset
     from gavit_tpu.training import Trainer
 
@@ -204,7 +204,8 @@ def _pipe_trainer(tmp_path, mesh_cfg, *, drop=0.0, drop_path=0.0,
                             "adjacency": "knn", "k": 2, "dynamic": True}},
         "data": {"batch_size": 8, "image_size": 16},
         "training": {"epochs": 2, "warmup_epochs": 1, "precision": "fp32",
-                     "early_stopping_patience": 10, "seed": seed},
+                     "early_stopping_patience": 10, "seed": seed,
+                     "qat": qat},
         "mesh": mesh_cfg,
         "paths": {"save_dir": str(tmp_path / "ckpt"),
                   "log_dir": str(tmp_path / "logs")},
@@ -355,6 +356,58 @@ def test_pipe_trainer_drop_path(tmp_path):
                                atol=1e-5)
     state, metrics, _ = tr._train_step(tr.state, tr.base_rng, *batch)
     # two steps: the first optimizer update runs at warmup multiplier 0
+    state, metrics, _ = tr._train_step(state, tr.base_rng, *batch)
+    assert np.isfinite(float(metrics["loss"]))
+    after = np.asarray(state.params["model"]["head"]["kernel"])
+    assert np.abs(after - before).max() > 0
+
+
+def test_pipeline_qat_matches_sequential():
+    """QAT under pp (late r5): the pipelined forward with the calibrated
+    act-scale collection threaded through the layer scan equals the
+    sequential quant='qat' model against the SAME scales — fake-quantised
+    GEMMs everywhere (patch embed, blocks, head)."""
+    from gavit_tpu.parallel.pp import pipeline_apply
+    from gavit_tpu.serving import calibrate_act_scales
+
+    cfg, _, params, images = _setup()
+    qmodel = build_model(cfg, precision="fp32", qat=True)
+    quant = calibrate_act_scales(qmodel, params, images)
+    ref = jax.jit(lambda p, x: qmodel.apply(
+        {"params": p, **quant}, x, deterministic=True))(params, images)
+    mesh = make_pipe_mesh(4)
+    out = jax.jit(lambda p, x: pipeline_apply(
+        mesh, cfg, p, x, num_microbatches=4,
+        quant=quant["quant"]))(params, images)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # the scales genuinely engage: dropping them changes the logits
+    plain = jax.jit(lambda p, x: pipeline_apply(
+        mesh, cfg, p, x, num_microbatches=4))(params, images)
+    assert np.abs(np.asarray(plain) - np.asarray(ref)).max() > 1e-6
+
+
+def test_pipe_trainer_qat(tmp_path):
+    """training.qat under mesh.pipe (restriction lifted late r5): the
+    Trainer calibrates sequentially, threads the act scales through the
+    pipelined train/eval steps; eval matches a sequential QAT trainer
+    (same loader -> same scales), training steps run finite and move."""
+    from gavit_tpu.parallel.mesh import shard_batch
+
+    images = jnp.asarray(np.random.RandomState(3).rand(8, 16, 16, 3),
+                         jnp.float32)
+    labels = jnp.asarray((np.random.RandomState(4).rand(8, 14) < 0.3),
+                         jnp.float32)
+    tr = _pipe_trainer(tmp_path / "pp", {"pipe": 2, "data": 2}, qat=True)
+    assert tr._quant, "QAT calibration must populate the quant collection"
+    batch = shard_batch(tr.mesh, (images, labels))
+    probs, _ = tr._eval_step(tr.state.params, *batch)
+    seq = _pipe_trainer(tmp_path / "seq", {"data": 1, "model": 1}, qat=True)
+    probs_seq, _ = seq._eval_step(
+        seq.state.params, *shard_batch(seq.mesh, (images, labels)))
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(probs_seq),
+                               atol=1e-5)
+    before = np.asarray(tr.state.params["model"]["head"]["kernel"]).copy()
+    state, metrics, _ = tr._train_step(tr.state, tr.base_rng, *batch)
     state, metrics, _ = tr._train_step(state, tr.base_rng, *batch)
     assert np.isfinite(float(metrics["loss"]))
     after = np.asarray(state.params["model"]["head"]["kernel"])
