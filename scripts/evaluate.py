@@ -293,7 +293,24 @@ def main():
     )
     from gavit_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(config.mesh) if jax.device_count() > 1 else None
+    mesh_cfg = config.mesh
+    if getattr(mesh_cfg, "pipe", 1) > 1:
+        # mesh.pipe is a TRAINING execution axis (GPipe trunk); the
+        # checkpoint is the plain sequential tree, and evaluation is pure
+        # data parallelism — fold the pipe stages into the data axis so a
+        # pp-trained yaml evaluates at full device utilisation instead of
+        # replicating compute across stages
+        import dataclasses
+
+        mesh_cfg = dataclasses.replace(
+            mesh_cfg, pipe=1,
+            data=(-1 if mesh_cfg.data is None or mesh_cfg.data <= 0
+                  else mesh_cfg.pipe * mesh_cfg.data))
+        logger.info(
+            f"mesh.pipe={config.mesh.pipe} folded into the data axis for "
+            "evaluation (pipeline parallelism is a training execution "
+            "layout; the checkpoint tree is identical)")
+    mesh = make_mesh(mesh_cfg) if jax.device_count() > 1 else None
     if mesh is not None:
         logger.info(f"evaluating data-sharded over {mesh.devices.size} devices")
     results = evaluate(model, params, dataloader, save_dir, mesh=mesh,

@@ -94,6 +94,54 @@ def main():
           f"{time.perf_counter() - t0:.0f}s, loss {float(val):.4f}, "
           f"grad sumsq finite={np.isfinite(gn)}", flush=True)
 
+    # late r5: drop_path under pp — the traced per-layer rates ride the
+    # layer scan; fwd+bwd through the bernoulli/scale on hardware
+    import dataclasses
+
+    dcfg = dataclasses.replace(cfg.model, drop_path_rate=0.1)
+
+    @jax.jit
+    def pipe_dp(p, x, key):
+        def loss(p):
+            logits = pipeline_apply(mesh, dcfg, p, x, num_microbatches=4,
+                                    dtype=dtype, deterministic=False,
+                                    rng=key)
+            return jnp.mean(logits ** 2)
+
+        return jax.value_and_grad(loss)(p)
+
+    t0 = time.perf_counter()
+    val, grads = pipe_dp(params, x, jax.random.key(2))
+    gn = sum(float(jnp.sum(g.astype(jnp.float32) ** 2))
+             for g in jax.tree.leaves(grads))
+    print(f"pp fwd+bwd with drop_path=0.1 (traced per-layer rates) "
+          f"compile+run {time.perf_counter() - t0:.0f}s, loss "
+          f"{float(val):.4f}, grad sumsq finite={np.isfinite(gn)}",
+          flush=True)
+
+    # late r5: QAT under pp — act scales threaded through the scan; the
+    # fake-quantised GEMMs must match the sequential qat model exactly
+    from gavit_tpu.serving import calibrate_act_scales
+
+    qmodel = build_model(cfg.model, precision=precision, qat=True)
+    t0 = time.perf_counter()
+    quant = calibrate_act_scales(qmodel, params, x[:8])
+
+    @jax.jit
+    def pipe_q(p, x):
+        return pipeline_apply(mesh, cfg.model, p, x, num_microbatches=4,
+                              dtype=dtype, quant=quant["quant"])
+
+    qout = pipe_q(params, x)
+    qref = qmodel.apply({"params": params, **quant}, x, deterministic=True)
+    qerr = float(jnp.max(jnp.abs(qout.astype(jnp.float32)
+                                 - qref.astype(jnp.float32))))
+    print(f"pp qat fwd (fake-quant GEMMs in-shard_map) compile+run "
+          f"{time.perf_counter() - t0:.0f}s, |Δlogit| vs sequential qat "
+          f"{qerr:.2e} "
+          f"({'OK' if qerr < (2e-2 if on_tpu else 1e-4) else 'FAIL'})",
+          flush=True)
+
 
 if __name__ == "__main__" and os.environ.get("PP_TIMING") != "1":
     main()
